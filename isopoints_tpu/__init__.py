@@ -1,0 +1,41 @@
+"""isopoints_tpu — a TPU-native (JAX/XLA/Pallas) iso-points framework.
+
+A from-scratch re-design of the capabilities of yifita/iso-points
+("Iso-Points: Optimizing Neural Implicit Surfaces with Hybrid
+Representations", CVPR 2021): neural implicit surfaces (SIREN / IGR SDF
+MLPs) coupled with explicit iso-point clouds extracted by Newton
+projection onto the zero level set, uniform/edge-aware resampling, a
+differentiable EWA surface-splatting rasterizer, IDR-style ray tracing,
+and multiview/point-cloud reconstruction trainers.
+
+Design stance (see SURVEY.md §7): padded arrays + validity masks
+everywhere, `lax.while_loop`/`lax.scan` for all iterative geometry,
+`jax.custom_vjp` for implicit differentiation and rasterizer gradients,
+Pallas kernels for the splatting hot loops, and `shard_map` over a
+`jax.sharding.Mesh` for multi-chip scaling (rays/points sharded on a
+data axis, SDF-MLP grads `psum` over ICI).
+
+Reference parity map: `/root/reference/DSS/__init__.py` (debug state),
+`/root/reference/DSS/logger.py` (logging).
+"""
+
+__version__ = "0.1.0"
+
+from isopoints_tpu.logger import get_logger
+from isopoints_tpu.debug import (
+    DebugState,
+    get_debugging_mode,
+    get_debugging_tensor,
+    set_debugging_mode_,
+)
+from isopoints_tpu.rng import set_deterministic_seed
+
+__all__ = [
+    "get_logger",
+    "DebugState",
+    "set_debugging_mode_",
+    "get_debugging_mode",
+    "get_debugging_tensor",
+    "set_deterministic_seed",
+    "__version__",
+]
