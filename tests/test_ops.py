@@ -1,0 +1,187 @@
+"""Neighbor/point-processing op tests vs dense numpy oracles
+(SURVEY.md §7 M2: dense O(P²) reference implementations)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isopoints_tpu.ops.neighbors import knn_points, radius_search, knn_gather
+from isopoints_tpu.ops.sampling import farthest_point_sampling, fps_subsample
+from isopoints_tpu.ops.points import (
+    wlop, midpoint_upsample, remove_outliers, denoise_normals_bilateral,
+    resample_uniformly,
+)
+from isopoints_tpu.utils import lengths_to_mask, num_valid
+
+
+def dense_knn(q, p, k, pmask=None):
+    d = np.linalg.norm(q[:, None] - p[None], axis=-1) ** 2
+    if pmask is not None:
+        d[:, ~pmask] = np.inf
+    idx = np.argsort(d, axis=-1, kind="stable")[:, :k]
+    return np.take_along_axis(d, idx, -1), idx
+
+
+def test_knn_matches_dense(rng):
+    q = rng.randn(2, 37, 3).astype(np.float32)
+    p = rng.randn(2, 53, 3).astype(np.float32)
+    res = knn_points(jnp.asarray(q), jnp.asarray(p), k=5, block_size=16)
+    for b in range(2):
+        dd, di = dense_knn(q[b], p[b], 5)
+        np.testing.assert_array_equal(np.asarray(res.idx)[b], di)
+        np.testing.assert_allclose(np.asarray(res.dists)[b], dd, atol=1e-4)
+
+
+def test_knn_masked(rng):
+    q = rng.randn(1, 10, 3).astype(np.float32)
+    p = rng.randn(1, 20, 3).astype(np.float32)
+    pmask = np.zeros(20, bool); pmask[:7] = True
+    res = knn_points(jnp.asarray(q), jnp.asarray(p),
+                     points_mask=jnp.asarray(pmask)[None], k=4)
+    dd, di = dense_knn(q[0], p[0], 4, pmask)
+    np.testing.assert_array_equal(np.asarray(res.idx)[0], di)
+    assert bool(res.mask.all())
+    # query mask zeroes out rows
+    qmask = np.zeros(10, bool); qmask[:3] = True
+    res2 = knn_points(jnp.asarray(q), jnp.asarray(p),
+                      query_mask=jnp.asarray(qmask)[None],
+                      points_mask=jnp.asarray(pmask)[None], k=4)
+    assert not bool(res2.mask[0, 3:].any())
+    assert bool((res2.idx[0, 3:] == -1).all())
+
+
+def test_knn_exclude_self(rng):
+    p = rng.randn(1, 30, 3).astype(np.float32)
+    res = knn_points(jnp.asarray(p), jnp.asarray(p), k=3, exclude_self=True)
+    idx = np.asarray(res.idx)[0]
+    assert (idx != np.arange(30)[:, None]).all()
+    assert (np.asarray(res.dists) > 0).all()
+
+
+def test_knn_k_larger_than_p(rng):
+    q = rng.randn(1, 5, 3).astype(np.float32)
+    p = rng.randn(1, 3, 3).astype(np.float32)
+    res = knn_points(jnp.asarray(q), jnp.asarray(p), k=6)
+    assert res.idx.shape == (1, 5, 6)
+    assert bool((res.idx[..., 3:] == -1).all())
+    assert bool(res.mask[..., :3].all())
+
+
+def test_radius_search(rng):
+    q = np.zeros((1, 1, 3), np.float32)
+    p = np.asarray([[[0.1, 0, 0], [0.5, 0, 0], [2.0, 0, 0]]], np.float32)
+    res = radius_search(jnp.asarray(q), jnp.asarray(p), radius=1.0, k=3)
+    np.testing.assert_array_equal(np.asarray(res.mask)[0, 0], [True, True, False])
+    np.testing.assert_array_equal(np.asarray(res.idx)[0, 0], [0, 1, -1])
+
+
+def test_knn_gather(rng):
+    x = rng.randn(1, 6, 2).astype(np.float32)
+    idx = jnp.asarray([[[0, 5, -1]]])
+    out = knn_gather(jnp.asarray(x), idx)
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0], x[0, 0])
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 1], x[0, 5])
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 2], 0.0)
+
+
+def test_fps_spread(rng):
+    """FPS samples must be more spread than random samples."""
+    pts = rng.randn(1, 500, 3).astype(np.float32)
+    idx, m = farthest_point_sampling(jnp.asarray(pts), 50)
+    assert m.all()
+    sel = pts[0, np.asarray(idx)[0]]
+    d_fps = np.linalg.norm(sel[:, None] - sel[None], axis=-1)
+    np.fill_diagonal(d_fps, np.inf)
+    rand_sel = pts[0, :50]
+    d_rand = np.linalg.norm(rand_sel[:, None] - rand_sel[None], axis=-1)
+    np.fill_diagonal(d_rand, np.inf)
+    assert d_fps.min() > d_rand.min()
+    # no duplicate picks while points remain
+    assert len(np.unique(np.asarray(idx)[0])) == 50
+
+
+def test_fps_masked(rng):
+    pts = rng.randn(2, 40, 3).astype(np.float32)
+    mask = lengths_to_mask(jnp.asarray([40, 10]), 40)
+    idx, m = farthest_point_sampling(jnp.asarray(pts), 20, mask)
+    # batch 1 has only 10 valid -> only 10 valid samples, all from the valid set
+    assert int(m[1].sum()) == 10
+    chosen = np.asarray(idx)[1][np.asarray(m)[1]]
+    assert (chosen < 10).all()
+
+
+def test_wlop_uniformizes(rng):
+    """WLOP on a clumpy cloud should reduce spacing variance."""
+    # clumpy: two gaussian blobs + sparse ring
+    a = rng.randn(400, 2) * 0.05 + [0.5, 0]
+    bpts = rng.randn(400, 2) * 0.05 - [0.5, 0]
+    t = rng.rand(200) * 2 * np.pi
+    ring = np.stack([np.cos(t), np.sin(t)], -1)
+    pts2 = np.concatenate([a, bpts, ring]).astype(np.float32)
+    pts = np.concatenate([pts2, np.zeros((1000, 1), np.float32)], -1)[None]
+    x, xm = wlop(jnp.asarray(pts), jnp.ones((1, 1000), bool), jax.random.key(0),
+                 ratio=0.3, iters=3)
+    assert bool(jnp.isfinite(x).all())
+    def spacing_cv(p, m):
+        res = knn_points(jnp.asarray(p), jnp.asarray(p), m, m, k=1, exclude_self=True)
+        d = np.sqrt(np.asarray(res.dists)[..., 0][np.asarray(res.mask[..., 0])])
+        return d.std() / d.mean()
+    cv_before = spacing_cv(pts, jnp.ones((1, 1000), bool))
+    cv_after = spacing_cv(np.asarray(x), xm)
+    assert cv_after < cv_before
+
+
+def test_midpoint_upsample(rng):
+    pts = rng.randn(1, 64, 3).astype(np.float32)
+    out, mask = midpoint_upsample(jnp.asarray(pts), jnp.ones((1, 64), bool),
+                                  target_capacity=256)
+    assert int(num_valid(mask)[0]) == 256
+    # originals preserved
+    np.testing.assert_allclose(np.asarray(out)[0, :64], pts[0], atol=1e-6)
+    # new points lie within the convex hull-ish region (midpoints)
+    assert np.abs(np.asarray(out)).max() <= np.abs(pts).max() + 1e-4
+
+
+def test_midpoint_upsample_partial_target(rng):
+    pts = rng.randn(2, 32, 3).astype(np.float32)
+    n_target = jnp.asarray([50, 40])
+    out, mask = midpoint_upsample(jnp.asarray(pts), jnp.ones((2, 32), bool),
+                                  target_capacity=64, n_target=n_target)
+    np.testing.assert_array_equal(np.asarray(num_valid(mask)), [50, 40])
+
+
+def test_remove_outliers(rng):
+    """The variance-ratio criterion (reference point_processing.py:16-32)
+    removes points whose neighborhoods are isotropic (noise blobs), and
+    keeps points on locally flat surfaces."""
+    plane = np.concatenate([rng.rand(80, 2), np.zeros((80, 1))], -1)
+    blob = rng.randn(20, 3) * 0.05 + [0.5, 0.5, 1.0]  # isotropic noise cluster
+    pts = np.concatenate([plane, blob]).astype(np.float32)[None]
+    mask = remove_outliers(jnp.asarray(pts), jnp.ones((1, 100), bool),
+                           neighborhood_size=8, tolerance=0.05)
+    m = np.asarray(mask)[0]
+    assert m[:80].sum() > 70   # plane mostly kept
+    assert m[80:].sum() < 10   # noise blob mostly removed
+
+
+def test_denoise_normals(rng):
+    # plane with noisy normals -> denoised closer to +z
+    pts = np.concatenate([rng.rand(1, 300, 2), np.zeros((1, 300, 1))], -1).astype(np.float32)
+    true_n = np.zeros((1, 300, 3), np.float32); true_n[..., 2] = 1.0
+    noisy = true_n + rng.randn(1, 300, 3) * 0.2
+    noisy /= np.linalg.norm(noisy, axis=-1, keepdims=True)
+    den = denoise_normals_bilateral(jnp.asarray(pts), jnp.asarray(noisy),
+                                    jnp.ones((1, 300), bool))
+    err_before = np.arccos(np.clip(np.abs(noisy[..., 2]), 0, 1)).mean()
+    err_after = np.arccos(np.clip(np.abs(np.asarray(den)[..., 2]), 0, 1)).mean()
+    assert err_after < err_before
+
+
+def test_resample_uniformly_count_preserved(rng):
+    pts = rng.randn(1, 128, 3).astype(np.float32)
+    out, mask = resample_uniformly(jnp.asarray(pts), jnp.ones((1, 128), bool),
+                                   jax.random.key(0))
+    assert out.shape == (1, 128, 3)
+    assert int(num_valid(mask)[0]) == 128
+    assert bool(jnp.isfinite(out).all())
