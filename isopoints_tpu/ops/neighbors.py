@@ -72,6 +72,10 @@ def knn_points(
         points_mask = jnp.ones((b, p), dtype=bool)
     if query_mask is None:
         query_mask = jnp.ones((b, n), dtype=bool)
+    # sanitize: garbage (NaN/Inf) in masked-out rows must not poison the
+    # distance matrix / top_k (NaN + BIG = NaN defeats masking)
+    points = jnp.where(points_mask[..., None], points, 0.0)
+    query = jnp.where(query_mask[..., None], query, 0.0)
 
     kk = min(k, p)
     pts_sq = jnp.sum(points * points, axis=-1)  # (B, P)

@@ -137,16 +137,20 @@ def midpoint_upsample(points: jax.Array, mask: jax.Array,
     if n_target is None:
         n_target = jnp.full((b,), cap, jnp.int32)
     n_target = jnp.minimum(n_target, cap)
+    # front-compact: insertion appends at slot `count`, which must be free
+    order = jnp.argsort(jnp.logical_not(mask), axis=-1, stable=True)
+    points = jnp.take_along_axis(points, order[..., None], axis=1)
+    mask = jnp.take_along_axis(mask, order, axis=1)
     buf = jnp.zeros((b, cap, 3), points.dtype).at[:, :p].set(points)
     bmask = jnp.zeros((b, cap), bool).at[:, :p].set(mask)
     max_new = max(cap // 8, 1)
 
     def cond(state):
-        _, m = state
-        return jnp.any(num_valid(m) < n_target)
+        _, m, stalled = state
+        return jnp.any(num_valid(m) < n_target) & jnp.logical_not(stalled)
 
     def body(state):
-        pts, m = state
+        pts, m, _ = state
         counts = num_valid(m)
         res = knn_points(pts, pts, m, m, k=neighborhood_size, exclude_self=True)
         nn = knn_gather(pts, res.idx)                        # (B,C,K,3)
@@ -178,10 +182,13 @@ def midpoint_upsample(points: jax.Array, mask: jax.Array,
         slots = jnp.where(valid_new, slots, cap)  # out-of-range -> dropped
 
         pts = jax.vmap(lambda bf, s, u: bf.at[s].set(u, mode="drop"))(pts, slots, new_pts)
-        m = jax.vmap(lambda bm, s: bm.at[s].set(True, mode="drop"))(m, slots)
-        return pts, m
+        new_m = jax.vmap(lambda bm, s: bm.at[s].set(True, mode="drop"))(m, slots)
+        # safety: if an entire round inserts nothing (e.g. too few valid
+        # neighbors to form midpoints), stop instead of spinning forever
+        stalled = jnp.sum(num_valid(new_m)) == jnp.sum(counts)
+        return pts, new_m, stalled
 
-    buf, bmask = jax.lax.while_loop(cond, body, (buf, bmask))
+    buf, bmask, _ = jax.lax.while_loop(cond, body, (buf, bmask, jnp.bool_(False)))
     return buf, bmask
 
 

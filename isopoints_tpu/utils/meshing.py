@@ -1,0 +1,266 @@
+"""Iso-surface meshing: marching tetrahedra + two-stage extraction.
+
+Parity: reference DSS/utils/__init__.py:554-696 (`get_grid_uniform`,
+`get_surface_high_res_mesh`, `get_grid`) which use skimage marching
+cubes. skimage is not available here, so we implement vectorized
+marching **tetrahedra** (6-tet cube decomposition, global-edge vertex
+dedup → watertight) in numpy; topology/quality is equivalent for SDF
+meshing purposes. Largest-component filtering uses scipy.
+
+SDF evaluation over grids is chunked through jit (`eval_sdf_grid`) so
+arbitrarily fine grids fit in memory.
+"""
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# cube corner offsets, index 0..7 (x fastest)
+_CORNERS = np.array([
+    [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+], dtype=np.int64)
+
+# 6-tetrahedra decomposition sharing the 0-6 diagonal
+_TETS = np.array([
+    [0, 5, 1, 6], [0, 1, 2, 6], [0, 2, 3, 6],
+    [0, 3, 7, 6], [0, 7, 4, 6], [0, 4, 5, 6],
+], dtype=np.int64)
+
+# tet edges by local vertex pair
+_TET_EDGES = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]],
+                      dtype=np.int64)
+
+# case -> list of triangles (edge-index triples); bit i set = vertex i inside
+_MT_TRIS = {
+    1: [(0, 1, 2)],
+    2: [(0, 3, 4)],
+    4: [(1, 3, 5)],
+    8: [(2, 4, 5)],
+    3: [(1, 2, 4), (1, 4, 3)],
+    5: [(0, 2, 5), (0, 5, 3)],
+    6: [(0, 4, 5), (0, 5, 1)],
+    9: [(0, 1, 5), (0, 5, 4)],
+    10: [(0, 5, 2), (0, 3, 5)],
+    12: [(1, 4, 2), (1, 3, 4)],
+    7: [(2, 5, 4)],
+    11: [(1, 5, 3)],
+    13: [(0, 4, 3)],
+    14: [(0, 2, 1)],
+}
+
+
+def marching_tetrahedra(values: np.ndarray, origin=(0.0, 0.0, 0.0),
+                        spacing=(1.0, 1.0, 1.0), level: float = 0.0
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the `level` iso-surface of a scalar grid.
+
+    Args:
+      values: (Nx, Ny, Nz) scalar field (indexed [ix, iy, iz]).
+      origin/spacing: world placement of grid node (0,0,0) and steps.
+      level: iso value.
+
+    Returns (vertices (V,3) float32, faces (F,3) int64), watertight
+    where the surface doesn't hit the grid boundary.
+    """
+    v = np.asarray(values, np.float64) - level
+    nx, ny, nz = v.shape
+    if min(nx, ny, nz) < 2:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+
+    # global vertex index helper (x-major consistent with meshgrid ij)
+    def gidx(ix, iy, iz):
+        return (ix * ny + iy) * nz + iz
+
+    cx, cy, cz = np.meshgrid(np.arange(nx - 1), np.arange(ny - 1),
+                             np.arange(nz - 1), indexing="ij")
+    cx = cx.ravel(); cy = cy.ravel(); cz = cz.ravel()
+
+    # (C, 8) global grid indices of cube corners
+    corner_g = np.stack([gidx(cx + dx, cy + dy, cz + dz)
+                         for dx, dy, dz in _CORNERS], axis=1)
+    vflat = v.ravel()
+    corner_v = vflat[corner_g]  # (C, 8)
+
+    # quickly drop cubes with no crossing
+    inside8 = corner_v < 0
+    active = ~(inside8.all(axis=1) | (~inside8).all(axis=1))
+    corner_g = corner_g[active]
+    corner_v = corner_v[active]
+    if corner_g.shape[0] == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+
+    edge_keys = []   # (T, 3, 2) global vertex pairs per triangle corner
+    tri_count = 0
+    all_tris = []
+    for tet in _TETS:
+        tg = corner_g[:, tet]            # (C, 4) global indices
+        tv = corner_v[:, tet]            # (C, 4) values
+        inside = tv < 0
+        case = (inside * np.array([1, 2, 4, 8])).sum(axis=1)
+        for c, tris in _MT_TRIS.items():
+            sel = case == c
+            if not sel.any():
+                continue
+            sg = tg[sel]; sv = tv[sel]
+            for tri in tris:
+                # each tri corner is a tet edge -> global vertex pair
+                pairs = _TET_EDGES[list(tri)]  # (3, 2) local verts
+                a = sg[:, pairs[:, 0]]         # (M, 3) global idx
+                b = sg[:, pairs[:, 1]]
+                key = np.stack([np.minimum(a, b), np.maximum(a, b)], axis=-1)
+                all_tris.append(key)           # (M, 3, 2)
+
+    if not all_tris:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+    tris = np.concatenate(all_tris, axis=0)    # (T, 3, 2)
+
+    # dedup edge-crossing vertices globally (watertight)
+    flat = tris.reshape(-1, 2)
+    key1d = flat[:, 0] * np.int64(nx * ny * nz) + flat[:, 1]
+    uniq, inv = np.unique(key1d, return_inverse=True)
+    ua = (uniq // (nx * ny * nz)).astype(np.int64)
+    ub = (uniq % (nx * ny * nz)).astype(np.int64)
+    va = vflat[ua]; vb = vflat[ub]
+    t = va / (va - vb)
+    t = np.clip(np.nan_to_num(t, nan=0.5), 0.0, 1.0)
+
+    def coords(g):
+        iz = g % nz
+        iy = (g // nz) % ny
+        ix = g // (ny * nz)
+        return np.stack([ix, iy, iz], axis=-1).astype(np.float64)
+
+    pa, pb = coords(ua), coords(ub)
+    verts_grid = pa + t[:, None] * (pb - pa)
+    faces = inv.reshape(-1, 3)
+    # drop degenerate faces (two corners on the same global edge)
+    ok = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & \
+         (faces[:, 0] != faces[:, 2])
+    faces = faces[ok]
+
+    # consistent winding: normals face the positive side of the field
+    # (the 6-tet decomposition mixes tet parities, so orient by ∇v)
+    gvx, gvy, gvz = np.gradient(v)
+    cent = verts_grid[faces].mean(axis=1)
+    ci = np.clip(np.round(cent).astype(np.int64), 0,
+                 np.array([nx - 1, ny - 1, nz - 1]))
+    gradc = np.stack([gvx[ci[:, 0], ci[:, 1], ci[:, 2]],
+                      gvy[ci[:, 0], ci[:, 1], ci[:, 2]],
+                      gvz[ci[:, 0], ci[:, 1], ci[:, 2]]], axis=-1)
+    fv = verts_grid[faces]
+    nrm = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    flip = np.einsum("ij,ij->i", nrm, gradc) < 0
+    faces[flip] = faces[flip][:, ::-1]
+
+    verts = verts_grid * np.asarray(spacing)[None] + np.asarray(origin)[None]
+    return verts.astype(np.float32), faces
+
+
+def eval_sdf_grid(sdf_fn: Callable, resolution: int, bbox_min, bbox_max,
+                  chunk: int = 262144) -> np.ndarray:
+    """Evaluate an SDF on a uniform grid, chunked through one jitted
+    call (parity: utils/__init__.py:569-656 chunked evaluation)."""
+    axes = [np.linspace(bbox_min[i], bbox_max[i], resolution) for i in range(3)]
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.float32)
+    n = pts.shape[0]
+    pad = (-n) % chunk
+    pts_p = np.pad(pts, ((0, pad), (0, 0)))
+    blocks = jnp.asarray(pts_p.reshape(-1, chunk, 3))
+    vals = jax.lax.map(lambda b: sdf_fn(b), blocks)
+    vals = np.asarray(vals).reshape(-1)[:n]
+    return vals.reshape(resolution, resolution, resolution)
+
+
+def largest_component(verts: np.ndarray, faces: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Keep the largest connected face component
+    (utils/__init__.py:650-653)."""
+    if faces.shape[0] == 0:
+        return verts, faces
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+    n = verts.shape[0]
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    adj = coo_matrix((np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(n, n))
+    ncomp, labels = connected_components(adj, directed=False)
+    if ncomp <= 1:
+        return verts, faces
+    best = np.bincount(labels).argmax()
+    keep_v = labels == best
+    remap = -np.ones(n, np.int64)
+    remap[keep_v] = np.arange(keep_v.sum())
+    keep_f = keep_v[faces].all(axis=1)
+    return verts[keep_v], remap[faces[keep_f]]
+
+
+def extract_mesh(sdf_fn: Callable, resolution: int = 128,
+                 bbox_min=(-1.0, -1.0, -1.0), bbox_max=(1.0, 1.0, 1.0),
+                 level: float = 0.0, keep_largest: bool = False
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """One-stage grid eval + marching tetrahedra."""
+    vals = eval_sdf_grid(sdf_fn, resolution, bbox_min, bbox_max)
+    spacing = [(bbox_max[i] - bbox_min[i]) / (resolution - 1) for i in range(3)]
+    verts, faces = marching_tetrahedra(vals, origin=bbox_min, spacing=spacing,
+                                       level=level)
+    if keep_largest:
+        verts, faces = largest_component(verts, faces)
+    return verts, faces
+
+
+def get_surface_high_res_mesh(sdf_fn: Callable, resolution: int = 512,
+                              box_side: float = 2.0,
+                              coarse_res: int = 100,
+                              keep_largest: bool = True
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Two-stage extraction (utils/__init__.py:569-655): coarse pass to
+    localize the surface, PCA-align a tight grid around it, then
+    high-res pass in that frame."""
+    half = box_side / 2.0
+    verts_c, faces_c = extract_mesh(sdf_fn, coarse_res,
+                                    (-half,) * 3, (half,) * 3)
+    if verts_c.shape[0] == 0:
+        return verts_c, faces_c
+    center = verts_c.mean(axis=0)
+    centered = verts_c - center
+    cov = centered.T @ centered / max(len(verts_c), 1)
+    _, rot = np.linalg.eigh(cov)  # columns = principal axes (ascending)
+    local = centered @ rot
+    lo = local.min(axis=0) - 0.05
+    hi = local.max(axis=0) + 0.05
+
+    def sdf_local(p_local):
+        p_world = jnp.matmul(p_local, jnp.asarray(rot.T, jnp.float32)) + \
+            jnp.asarray(center, jnp.float32)
+        return sdf_fn(p_world)
+
+    vals = eval_sdf_grid(sdf_local, resolution, lo, hi)
+    spacing = [(hi[i] - lo[i]) / (resolution - 1) for i in range(3)]
+    verts_l, faces = marching_tetrahedra(vals, origin=lo, spacing=spacing)
+    verts = verts_l @ rot.T + center
+    if keep_largest:
+        verts, faces = largest_component(verts, faces)
+    return verts.astype(np.float32), faces
+
+
+def sample_points_from_mesh(verts: np.ndarray, faces: np.ndarray,
+                            n_samples: int, seed: int = 0
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+    """Area-weighted uniform surface samples + face normals (for
+    chamfer evaluation; parity: pytorch3d sample_points_from_meshes
+    used by evaluation.py:78)."""
+    rng = np.random.RandomState(seed)
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    cross = np.cross(v1 - v0, v2 - v0)
+    area = 0.5 * np.linalg.norm(cross, axis=-1)
+    prob = area / max(area.sum(), 1e-12)
+    fidx = rng.choice(len(faces), size=n_samples, p=prob)
+    r1 = np.sqrt(rng.rand(n_samples, 1))
+    r2 = rng.rand(n_samples, 1)
+    pts = (1 - r1) * v0[fidx] + r1 * (1 - r2) * v1[fidx] + r1 * r2 * v2[fidx]
+    normals = cross[fidx] / np.maximum(
+        np.linalg.norm(cross[fidx], axis=-1, keepdims=True), 1e-12)
+    return pts.astype(np.float32), normals.astype(np.float32)
