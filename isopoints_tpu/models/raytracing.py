@@ -1,0 +1,518 @@
+"""Ray engine: sphere tracing, IDR bidirectional tracing, DVR secant.
+
+Parity: reference DSS/models/levelset_sampling.py — `SphereTracing`
+(:663-808), `RayTracing` (:810-1168, IDR), `ray_sampler` (:1034),
+`secant` (:1114), `minimal_sdf_points` (:1135),
+`find_zero_crossing_between_point_pairs` (:1210-1329), and
+DSS/utils/__init__.py — `intersection_with_unit_cube` (:402),
+`intersection_with_unit_sphere` (:484).
+
+TPU re-design (SURVEY.md §7 M4): the reference runs every stage on a
+shrinking boolean-indexed active set, chunked by `max_points_per_pass`
+(80-120k points per CUDA pass). Here every stage is full-width over a
+static `(B, N)` ray grid with masks:
+
+  * sphere tracing = one `lax.while_loop`, masked updates — each
+    iteration is a single batched MLP eval that rides the MXU; no
+    compaction, no chunk loop (scale-out = shard rays over devices).
+  * the dense sampler evaluates all `(B, N, n_steps)` proposals in one
+    batched eval; "first sign change" is the sign·countdown argmin
+    trick, identical math to the reference (:1061-1063).
+  * the secant is a fixed-length `lax.scan` (8 steps) — branch-free.
+
+No data-dependent shapes anywhere: callers get masks, not subsets.
+"""
+
+import math
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from isopoints_tpu.utils import eps_denom
+
+SDFFn = Callable[[jax.Array], jax.Array]  # (..., 3) -> (...)
+
+
+# ---------------------------------------------------------------------------
+# Ray / primitive intersections (utils/__init__.py:402-545)
+# ---------------------------------------------------------------------------
+
+def intersection_with_unit_cube(ray0: jax.Array, ray_dir: jax.Array,
+                                side_length: float = 1.0, padding: float = 0.1,
+                                eps: float = 1e-6
+                                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Entry/exit intersections of rays with the padded unit cube.
+
+    Args:
+      ray0: (..., 3) origins (broadcastable against ray_dir).
+      ray_dir: (..., 3) directions (not necessarily unit).
+    Returns:
+      (entry (..., 3), exit (..., 3), hit (...,) bool). Rays that miss
+      get zeros and hit=False (parity: utils/__init__.py:402-483 keeps
+      zeros for misses).
+    """
+    ray0 = jnp.broadcast_to(ray0, ray_dir.shape)
+    half = side_length / 2.0 + padding / 2.0
+    # six axis-aligned planes at ±half: t = (±half − o_i) / d_i
+    o2 = jnp.concatenate([ray0, ray0], axis=-1)
+    d2 = jnp.concatenate([ray_dir, ray_dir], axis=-1)
+    plane = jnp.concatenate([jnp.full_like(ray0, half),
+                             jnp.full_like(ray0, -half)], axis=-1)
+    t = (plane - o2) / eps_denom(d2, 1e-12)                    # (..., 6)
+    p = ray0[..., None, :] + t[..., None] * ray_dir[..., None, :]  # (..., 6, 3)
+    on_cube = jnp.all((p <= half + eps) & (p >= -(half + eps)), axis=-1)  # (..., 6)
+    hit = jnp.sum(on_cube.astype(jnp.int32), axis=-1) == 2
+
+    big = 1e10
+    t_valid = jnp.where(on_cube, t, big)
+    t0 = jnp.min(t_valid, axis=-1)
+    t1 = jnp.min(jnp.where(t_valid <= t0[..., None], big, t_valid), axis=-1)
+    t0 = jnp.where(hit, t0, 0.0)
+    t1 = jnp.where(hit, t1, 0.0)
+    entry = ray0 + t0[..., None] * ray_dir
+    exit_ = ray0 + t1[..., None] * ray_dir
+    z = jnp.zeros_like(entry)
+    entry = jnp.where(hit[..., None], entry, z)
+    exit_ = jnp.where(hit[..., None], exit_, z)
+    return entry, exit_, hit
+
+
+def intersection_with_unit_sphere(cam_pos: jax.Array, rays: jax.Array,
+                                  radius: float = 1.0
+                                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Near/far intersections with a centered sphere.
+
+    Misses fall back to the tangent-plane intersection (the plane
+    tangent to the sphere, orthogonal to the view axis) exactly like
+    the reference (utils/__init__.py:484-545) so downstream tracing
+    still has a working interval.
+
+    Args:
+      cam_pos: (..., 3) broadcastable origins; rays: (..., 3) unit dirs.
+    Returns (near (...,3), far (...,3), hit (...)).
+    """
+    p = jnp.broadcast_to(cam_pos, rays.shape)
+    q = rays
+    ptq = jnp.sum(p * q, axis=-1)                     # ⟨o, d⟩
+    mid = p - ptq[..., None] * q                      # closest point to center
+    dist = jnp.linalg.norm(mid, axis=-1)
+    cam_dist = jnp.linalg.norm(p, axis=-1)
+    hit = dist <= radius
+
+    half_chord = jnp.sqrt(jnp.maximum(radius * radius - dist * dist, 0.0))
+    chord = jnp.where(hit, 2.0 * half_chord, 10.0)
+    z_near_hit = jnp.sqrt(jnp.maximum(cam_dist * cam_dist - dist * dist, 0.0)) - half_chord
+    # tangent-plane fallback for misses
+    z_near_miss = (cam_dist - radius) / eps_denom(-ptq / jnp.maximum(cam_dist, 1e-12))
+    z_far_miss = (cam_dist + radius) / eps_denom(-ptq / jnp.maximum(cam_dist, 1e-12))
+    z_near = jnp.where(hit, z_near_hit, z_near_miss)
+    near = z_near[..., None] * q + p
+    far = jnp.where(hit[..., None], near + chord[..., None] * q,
+                    z_far_miss[..., None] * q + p)
+    return near, far, hit
+
+
+# ---------------------------------------------------------------------------
+# Sphere tracing along given rays (SphereTracing, levelset_sampling.py:663-808)
+# ---------------------------------------------------------------------------
+
+class SphereTraceResult(NamedTuple):
+    points: jax.Array   # (..., 3) final positions
+    sdf: jax.Array      # (...,) SDF at final positions
+    grad: jax.Array     # (..., 3) SDF gradient at the FIRST iterate
+                        # (matches the reference returning the initial
+                        # grad cache, levelset_sampling.py:746-754)
+    mask: jax.Array     # (...,) converged (|sdf| ≤ tolerance)
+
+
+def sphere_trace_along_rays(sdf_fn: SDFFn, ray0: jax.Array, ray_dir: jax.Array,
+                            mask: Optional[jax.Array] = None,
+                            max_iters: int = 10, tolerance: float = 5e-5,
+                            alpha: float = 1.0, radius: float = 1.0,
+                            padding: float = 0.1,
+                            step_clip: float = 0.1) -> SphereTraceResult:
+    """March p ← p + α·f(p)·d, step clamped to `step_clip`, stopping when
+    |f| ≤ 0.1·tolerance or the point leaves the radius+padding sphere.
+
+    Convergence reported against the full `tolerance` like the
+    reference (levelset_sampling.py:764,793).
+    """
+    if mask is None:
+        mask = jnp.ones(ray0.shape[:-1], dtype=bool)
+    ray_dir = ray_dir / jnp.maximum(
+        jnp.linalg.norm(ray_dir, axis=-1, keepdims=True), 1e-15)
+
+    # one vjp for the initial value + gradient cache
+    sdf0, vjp = jax.vjp(sdf_fn, ray0)
+    (grad0,) = vjp(jnp.ones_like(sdf0))
+
+    inside = jnp.linalg.norm(ray0, axis=-1) < (radius + padding)
+
+    def cond(state):
+        _, sdf, active, it = state
+        return (it < max_iters) & jnp.any(active)
+
+    def body(state):
+        pts, sdf, active, it = state
+        move = alpha * sdf[..., None] * ray_dir
+        mnorm = jnp.linalg.norm(move, axis=-1, keepdims=True)
+        move = move / jnp.maximum(mnorm, 1e-15) * jnp.minimum(mnorm, step_clip)
+        cand = pts + move
+        in_sphere = jnp.linalg.norm(cand, axis=-1) < (radius + padding)
+        pts = jnp.where((active & in_sphere)[..., None], cand, pts)
+        sdf_new = sdf_fn(pts)
+        sdf = jnp.where(active, sdf_new, sdf)
+        active = active & in_sphere & (jnp.abs(sdf) > 0.1 * tolerance)
+        return pts, sdf, active, it + 1
+
+    active0 = mask & inside & (jnp.abs(sdf0) > 0.1 * tolerance)
+    pts, sdf, _, _ = jax.lax.while_loop(
+        cond, body, (ray0, sdf0, active0, jnp.int32(0)))
+    return SphereTraceResult(points=pts, sdf=sdf, grad=grad0,
+                             mask=mask & (jnp.abs(sdf) <= tolerance))
+
+
+# ---------------------------------------------------------------------------
+# IDR bidirectional ray tracing (RayTracing, levelset_sampling.py:810-1168)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RayTracingConfig:
+    """Knobs mirroring RayTracing.__init__ (levelset_sampling.py:812-828)."""
+    object_bounding_sphere: float = 1.0
+    sdf_threshold: float = 5e-5
+    line_search_step: float = 0.5
+    line_step_iters: int = 1
+    sphere_tracing_iters: int = 10
+    n_steps: int = 100
+    n_secant_steps: int = 8
+    # rays per dense-sampler evaluation chunk; 0 = full width. Bounds
+    # the (rays × n_steps × hidden) MLP activation footprint the same
+    # way the reference's 80k-point chunks do (levelset_sampling.py:1057)
+    # but as a lax.map inside jit, not a host loop.
+    sampler_chunk_rays: int = 0
+    # fraction of rays given a dense-sampler slot; 1.0 = all rays. The
+    # reference runs the sampler only on unconverged rays (a dynamic
+    # subset, :858-871); on TPU we compact the unconverged rays into a
+    # STATIC ceil(frac·N) buffer with top_k, sample those, and scatter
+    # back — bounded work, same result when the unconverged count fits
+    # (sphere tracing converges the vast majority).
+    sampler_fraction: float = 1.0
+
+
+def _eval_sdf_chunked(sdf_fn: SDFFn, pts: jax.Array, chunk_rays: int
+                      ) -> jax.Array:
+    """Evaluate sdf over (B, N, S, 3) proposals, lax.map-chunked over
+    rays to bound peak activation memory."""
+    if chunk_rays <= 0:
+        return sdf_fn(pts)
+    b, n, s, _ = pts.shape
+    total = b * n
+    pad = (-total) % chunk_rays
+    flat = pts.reshape(total, s, 3)
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((pad, s, 3), flat.dtype)], axis=0)
+    out = jax.lax.map(sdf_fn, flat.reshape(-1, chunk_rays, s, 3))
+    return out.reshape(-1, s)[:total].reshape(b, n, s)
+
+
+class RayTraceResult(NamedTuple):
+    points: jax.Array              # (B, N, 3) surface / fallback points
+    dists: jax.Array               # (B, N) ray lengths
+    network_object_mask: jax.Array  # (B, N) ray hits the implicit surface
+    mask_intersect: jax.Array      # (B, N) ray intersects bounding sphere
+    sampler_mask: jax.Array        # (B, N) handled by the dense sampler
+
+
+def _secant_scan(sdf_fn: SDFFn, f_low, f_high, z_low, z_high, origins, dirs,
+                 n_steps: int) -> jax.Array:
+    """Fixed-step secant for f(o + z·d) = 0 on [z_low, z_high].
+
+    Parity: RayTracing.secant (levelset_sampling.py:1114-1133);
+    branch-free lax.scan with masked bound updates.
+    """
+    def z_pred_of(fl, fh, zl, zh):
+        return -fl * (zh - zl) / eps_denom(fh - fl, 1e-12) + zl
+
+    def step(carry, _):
+        fl, fh, zl, zh = carry
+        z = z_pred_of(fl, fh, zl, zh)
+        f_mid = sdf_fn(origins + z[..., None] * dirs)
+        low = f_mid > 0
+        zl = jnp.where(low, z, zl)
+        fl = jnp.where(low, f_mid, fl)
+        high = f_mid < 0
+        zh = jnp.where(high, z, zh)
+        fh = jnp.where(high, f_mid, fh)
+        return (fl, fh, zl, zh), None
+
+    (f_low, f_high, z_low, z_high), _ = jax.lax.scan(
+        step, (f_low, f_high, z_low, z_high), None, length=n_steps)
+    return z_pred_of(f_low, f_high, z_low, z_high)
+
+
+def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
+                                mask_intersect, t_near, t_far,
+                                cfg: RayTracingConfig):
+    """March start (+) and end (−) fronts until both stall or cross.
+
+    Parity: RayTracing.sphere_tracing (levelset_sampling.py:920-1032)
+    including the line-search backstep on surface crossings.
+    """
+    thr = cfg.sdf_threshold
+
+    def eval_at(t):
+        return sdf_fn(cam_loc + t[..., None] * ray_dirs)
+
+    sdf_start0 = jnp.where(mask_intersect, eval_at(t_near), 0.0)
+    sdf_end0 = jnp.where(mask_intersect, eval_at(t_far), 0.0)
+
+    def cond(state):
+        _, _, _, _, un_s, un_e, it = state
+        return (it < cfg.sphere_tracing_iters) & (jnp.any(un_s) | jnp.any(un_e))
+
+    def body(state):
+        acc_s, acc_e, sdf_s, sdf_e, un_s, un_e, it = state
+        cur_s = jnp.where(un_s & (sdf_s > thr), sdf_s, 0.0)
+        cur_e = jnp.where(un_e & (sdf_e > thr), sdf_e, 0.0)
+        acc_s = acc_s + cur_s
+        acc_e = acc_e - cur_e
+        new_s = eval_at(acc_s)
+        new_e = eval_at(acc_e)
+
+        # line-search backstep where the front crossed inside (sdf < 0)
+        def back_step(carry, i):
+            acc_s, acc_e, new_s, new_e = carry
+            scale = (1.0 - cfg.line_search_step) / (2.0 ** i)
+            bs = un_s & (new_s < 0)
+            be = un_e & (new_e < 0)
+            acc_s = jnp.where(bs, acc_s - scale * cur_s, acc_s)
+            acc_e = jnp.where(be, acc_e + scale * cur_e, acc_e)
+            new_s = jnp.where(bs, eval_at(acc_s), new_s)
+            new_e = jnp.where(be, eval_at(acc_e), new_e)
+            return (acc_s, acc_e, new_s, new_e), None
+
+        (acc_s, acc_e, new_s, new_e), _ = jax.lax.scan(
+            back_step, (acc_s, acc_e, new_s, new_e),
+            jnp.arange(cfg.line_step_iters, dtype=jnp.float32))
+
+        not_crossed = acc_s < acc_e
+        un_s = un_s & (new_s > thr) & not_crossed
+        un_e = un_e & (new_e > thr) & not_crossed
+        return acc_s, acc_e, new_s, new_e, un_s, un_e, it + 1
+
+    un_s0 = mask_intersect & (sdf_start0 > thr)
+    un_e0 = mask_intersect & (sdf_end0 > thr)
+    acc_s, acc_e, sdf_s, sdf_e, un_s, un_e, _ = jax.lax.while_loop(
+        cond, body,
+        (t_near, t_far, sdf_start0, sdf_end0, un_s0, un_e0, jnp.int32(0)))
+    return acc_s, acc_e, un_s
+
+
+def _dense_ray_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
+                       t_lo, t_hi, sampler_mask, cfg: RayTracingConfig,
+                       training: bool):
+    """Uniform n_steps sampling + first-sign-change pick + secant.
+
+    Parity: RayTracing.ray_sampler (levelset_sampling.py:1034-1112).
+    Full-width: evaluates every ray; `sampler_mask` only gates which
+    results the caller takes.
+    """
+    n = cfg.n_steps
+    steps = jnp.linspace(0.0, 1.0, n)
+    ts = t_lo[..., None] + steps * (t_hi - t_lo)[..., None]        # (B,N,S)
+    pts = cam_loc[..., None, :] + ts[..., None] * ray_dirs[..., None, :]
+    sdf_val = _eval_sdf_chunked(sdf_fn, pts, cfg.sampler_chunk_rays)  # (B,N,S)
+
+    # first sign change: sign(f_i)·countdown argmin (reference :1061-1063)
+    countdown = jnp.arange(n, 0, -1, dtype=sdf_val.dtype)
+    costs = jnp.sign(sdf_val) * countdown
+    idx = jnp.argmin(costs, axis=-1)                                # (B,N)
+    has_sign_change = jnp.take_along_axis(costs, idx[..., None], axis=-1)[..., 0] < 0
+
+    pick = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
+    t_pick = pick(ts, idx)
+    f_pick = pick(sdf_val, idx)
+    net_surface = f_pick < 0
+
+    # P_out pixels: minimal-SDF point on the ray
+    idx_min = jnp.argmin(sdf_val, axis=-1)
+    t_min = pick(ts, idx_min)
+
+    # secant interval: [idx-1, idx]
+    idx_lo = jnp.maximum(idx - 1, 0)
+    z_low = pick(ts, idx_lo)
+    f_low = pick(sdf_val, idx_lo)
+    z_secant = _secant_scan(sdf_fn, f_low, f_pick, z_low, t_pick,
+                            cam_loc, ray_dirs, cfg.n_secant_steps)
+
+    secant_ok = net_surface & (object_mask if training else jnp.ones_like(net_surface))
+    p_out = ~(object_mask & net_surface)
+    t_out = jnp.where(secant_ok, z_secant, jnp.where(p_out, t_min, t_pick))
+    pts_out = cam_loc + t_out[..., None] * ray_dirs
+    obj_mask_out = sampler_mask & net_surface
+    return pts_out, t_out, obj_mask_out
+
+
+def _minimal_sdf_points(sdf_fn: SDFFn, key, cam_loc, ray_dirs, t_lo, t_hi,
+                        n_steps: int, chunk_rays: int = 0):
+    """Random-stratified min-SDF point per ray
+    (levelset_sampling.py:1135-1168)."""
+    u = jax.random.uniform(key, (n_steps,))
+    ts = t_lo[..., None] + u * (t_hi - t_lo)[..., None]
+    pts = cam_loc[..., None, :] + ts[..., None] * ray_dirs[..., None, :]
+    sdf_val = _eval_sdf_chunked(sdf_fn, pts, chunk_rays)
+    idx = jnp.argmin(sdf_val, axis=-1)
+    t_min = jnp.take_along_axis(ts, idx[..., None], axis=-1)[..., 0]
+    return cam_loc + t_min[..., None] * ray_dirs, t_min
+
+
+def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
+              object_mask: jax.Array, key: jax.Array,
+              cfg: RayTracingConfig = RayTracingConfig(),
+              training: bool = True) -> RayTraceResult:
+    """Full IDR ray tracing (RayTracing.forward, levelset_sampling.py:830-920).
+
+    Pipeline: bounding-sphere interval → bidirectional sphere tracing →
+    dense sampler + secant for unconverged rays → (training) min-SDF
+    fallback points for mask-loss pixels.
+
+    Args:
+      cam_loc: (B, 1, 3) or (B, N, 3) camera centers.
+      ray_dirs: (B, N, 3) unit directions.
+      object_mask: (B, N) GT silhouette at each ray's pixel.
+      key: PRNG key for the min-SDF random steps.
+    """
+    cam_loc = jnp.broadcast_to(cam_loc, ray_dirs.shape)
+    near, far, mask_intersect = intersection_with_unit_sphere(
+        cam_loc, ray_dirs, radius=cfg.object_bounding_sphere)
+    t_near = jnp.linalg.norm(near - cam_loc, axis=-1)
+    t_far = jnp.linalg.norm(far - cam_loc, axis=-1)
+
+    acc_s, acc_e, unfinished = _bidirectional_sphere_trace(
+        sdf_fn, cam_loc, ray_dirs, mask_intersect, t_near, t_far, cfg)
+
+    dists = jnp.where(mask_intersect, acc_s, 0.0)
+    network_object_mask = (acc_s < acc_e) & mask_intersect
+
+    sampler_mask = unfinished
+    k1, k2 = jax.random.split(key)
+    if cfg.sampler_fraction >= 1.0:
+        s_pts, s_t, s_obj = _dense_ray_sampler(
+            sdf_fn, k1, cam_loc, ray_dirs, object_mask, acc_s, acc_e,
+            sampler_mask, cfg, training)
+        dists = jnp.where(sampler_mask, s_t, dists)
+        network_object_mask = jnp.where(sampler_mask, s_obj,
+                                        network_object_mask)
+    else:
+        # compact unconverged rays into a static buffer, sample only
+        # those, scatter back (bounded dense-sampler work)
+        b, n = sampler_mask.shape
+        cap = max(int(math.ceil(n * cfg.sampler_fraction)), 1)
+        score = sampler_mask.astype(jnp.float32)
+        _, sel = jax.lax.top_k(score, cap)                      # (B, cap)
+        sel_ok = jnp.take_along_axis(sampler_mask, sel, axis=1)
+        g2 = lambda a: jnp.take_along_axis(a, sel, axis=1)
+        g3 = lambda a: jnp.take_along_axis(a, sel[..., None], axis=1)
+        s_pts, s_t, s_obj = _dense_ray_sampler(
+            sdf_fn, k1, g3(cam_loc), g3(ray_dirs), g2(object_mask),
+            g2(acc_s), g2(acc_e), sel_ok, cfg, training)
+        scatter = lambda dst, src: jax.vmap(
+            lambda d, i, v, ok: d.at[jnp.where(ok, i, n)].set(
+                jnp.where(ok, v, jnp.zeros((), v.dtype)), mode="drop")
+        )(dst, sel, src, sel_ok)
+        dists = scatter(dists, s_t)
+        network_object_mask = scatter(network_object_mask, s_obj)
+        # rays beyond capacity: treated as non-surface (rare overflow)
+        overflow = sampler_mask & ~jax.vmap(
+            lambda i, ok: jnp.zeros((n,), bool).at[
+                jnp.where(ok, i, n)].set(True, mode="drop"))(sel, sel_ok)
+        network_object_mask = jnp.where(overflow, False, network_object_mask)
+
+    points = cam_loc + dists[..., None] * ray_dirs
+
+    if training:
+        # rays needing a mask-loss witness point (in/out disagreement)
+        in_mask = ~network_object_mask & object_mask & ~sampler_mask
+        out_mask = ~object_mask & ~sampler_mask
+        need = in_mask | out_mask
+
+        # outside the bounding sphere: closest point to origin on the ray
+        left_out = need & ~mask_intersect
+        t_perp = -jnp.sum(ray_dirs * cam_loc, axis=-1)
+        dists = jnp.where(left_out, t_perp, dists)
+
+        # inside: random-stratified min-SDF point on the valid interval
+        fix = need & mask_intersect
+        t_lo = jnp.where(network_object_mask & out_mask, acc_s, t_near)
+        m_pts, m_t = _minimal_sdf_points(sdf_fn, k2, cam_loc, ray_dirs,
+                                         t_lo, t_far, cfg.n_steps,
+                                         cfg.sampler_chunk_rays)
+        dists = jnp.where(fix, m_t, dists)
+        points = cam_loc + dists[..., None] * ray_dirs
+
+    return RayTraceResult(points=points, dists=dists,
+                          network_object_mask=network_object_mask,
+                          mask_intersect=mask_intersect,
+                          sampler_mask=sampler_mask)
+
+
+# ---------------------------------------------------------------------------
+# DVR zero crossing between point pairs (levelset_sampling.py:1210-1368)
+# ---------------------------------------------------------------------------
+
+def find_zero_crossing_between_point_pairs(
+        sdf_fn: SDFFn, p0: jax.Array, p1: jax.Array,
+        n_steps: int = 100, n_secant_steps: int = 8,
+        is_occupancy: bool = False, allow_in_to_out: bool = False
+        ) -> Tuple[jax.Array, jax.Array]:
+    """First out→in zero crossing on each segment [p0, p1] + secant.
+
+    SDF convention (`is_occupancy=False`): outside = f > 0; a valid
+    crossing is pos→neg. Occupancy convention flips the comparison
+    (reference :1235-1246).
+
+    Returns (points (..., 3), mask (...,)); non-crossing segments keep
+    ones (the reference's sanity fill, :1325-1327) under mask=False.
+    """
+    seg = p1 - p0
+    seg_len = jnp.linalg.norm(seg, axis=-1)
+    ray_dir = seg / jnp.maximum(seg_len[..., None], 1e-10)
+    steps = jnp.linspace(0.0, 1.0, n_steps)
+    ts = steps * seg_len[..., None]                                 # (..., S)
+    pts = p0[..., None, :] + ts[..., None] * ray_dir[..., None, :]
+    val = sdf_fn(pts)                                               # (..., S)
+
+    outside = (val < 0.0) if is_occupancy else (val > 0.0)
+
+    sign_mx = jnp.concatenate(
+        [jnp.sign(val[..., :-1] * val[..., 1:]),
+         jnp.ones_like(val[..., :1])], axis=-1)
+    countdown = jnp.arange(n_steps, 0, -1, dtype=val.dtype)
+    cost = sign_mx * countdown
+    idx = jnp.argmin(cost, axis=-1)
+    crossing = jnp.take_along_axis(cost, idx[..., None], axis=-1)[..., 0] < 0
+
+    pick = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
+    f_start = pick(val, idx)
+    out_to_in = (f_start < 0.0) if is_occupancy else (f_start > 0.0)
+    mask = crossing if allow_in_to_out else (crossing & out_to_in)
+
+    idx_hi = jnp.minimum(idx + 1, n_steps - 1)
+    d_start, d_end = pick(ts, idx), pick(ts, idx_hi)
+    f_end = pick(val, idx_hi)
+
+    # the secant assumes the SDF sign convention (outside > 0); negate
+    # for occupancy so the same update rule applies
+    if is_occupancy:
+        z = _secant_scan(lambda x: -sdf_fn(x), -f_start, -f_end,
+                         d_start, d_end, p0, ray_dir, n_secant_steps)
+    else:
+        z = _secant_scan(sdf_fn, f_start, f_end, d_start, d_end, p0,
+                         ray_dir, n_secant_steps)
+    pt = p0 + z[..., None] * ray_dir
+    pt = jnp.where(mask[..., None], pt, jnp.ones_like(pt))
+    return pt, mask

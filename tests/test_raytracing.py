@@ -1,0 +1,228 @@
+"""Ray engine tests: intersections, sphere tracing, IDR tracer, DVR secant.
+
+Oracle: analytic sphere/torus SDFs — every traced point must satisfy
+|f(p)| < tol and lie on its ray (the reference offers only behavioral
+oracles, SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isopoints_tpu.models.raytracing import (
+    RayTracingConfig,
+    find_zero_crossing_between_point_pairs,
+    intersection_with_unit_cube,
+    intersection_with_unit_sphere,
+    ray_trace,
+    sphere_trace_along_rays,
+)
+
+
+def sphere_sdf(r=0.5):
+    return lambda x: jnp.linalg.norm(x, axis=-1) - r
+
+
+def torus_sdf(R=0.5, r=0.2):
+    def f(x):
+        q = jnp.stack([jnp.linalg.norm(x[..., :2], axis=-1) - R, x[..., 2]], -1)
+        return jnp.linalg.norm(q, axis=-1) - r
+    return f
+
+
+class TestCubeIntersection:
+    def test_center_ray_hits(self):
+        o = jnp.array([[[0.0, 0.0, -3.0]]])
+        d = jnp.array([[[0.0, 0.0, 1.0]]])
+        ent, ext, hit = intersection_with_unit_cube(o, d, side_length=1.0, padding=0.0)
+        assert bool(hit[0, 0])
+        np.testing.assert_allclose(ent[0, 0], [0, 0, -0.5], atol=1e-5)
+        np.testing.assert_allclose(ext[0, 0], [0, 0, 0.5], atol=1e-5)
+
+    def test_miss(self):
+        o = jnp.array([[[0.0, 2.0, -3.0]]])
+        d = jnp.array([[[0.0, 0.0, 1.0]]])
+        _, _, hit = intersection_with_unit_cube(o, d, side_length=1.0, padding=0.0)
+        assert not bool(hit[0, 0])
+
+    def test_entry_before_exit(self):
+        key = jax.random.key(0)
+        o = jax.random.normal(key, (2, 64, 3)) * 0.2 + jnp.array([0, 0, -2.0])
+        d = jnp.array([0.0, 0.0, 1.0]) + 0.3 * jax.random.normal(
+            jax.random.key(1), (2, 64, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        ent, ext, hit = intersection_with_unit_cube(o, d)
+        t_ent = jnp.sum((ent - o) * d, axis=-1)
+        t_ext = jnp.sum((ext - o) * d, axis=-1)
+        assert bool(jnp.all(jnp.where(hit, t_ext >= t_ent, True)))
+
+
+class TestSphereIntersection:
+    def test_hit_points_on_sphere(self):
+        o = jnp.array([[[0.0, 0.0, -3.0]]])
+        d = jnp.array([[[0.0, 0.0, 1.0]]])
+        near, far, hit = intersection_with_unit_sphere(o, d, radius=1.0)
+        assert bool(hit[0, 0])
+        np.testing.assert_allclose(jnp.linalg.norm(near), 1.0, atol=1e-5)
+        np.testing.assert_allclose(jnp.linalg.norm(far), 1.0, atol=1e-5)
+        np.testing.assert_allclose(near[0, 0], [0, 0, -1.0], atol=1e-5)
+
+    def test_miss_tangent_plane_fallback(self):
+        o = jnp.array([[[0.0, 0.0, -3.0]]])
+        d = jnp.array([[[0.0, 1.0, 0.2]]])
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        near, far, hit = intersection_with_unit_sphere(o, d, radius=1.0)
+        assert not bool(hit[0, 0])
+        # fallback still produces a forward interval
+        assert bool(jnp.all(jnp.isfinite(near))) and bool(jnp.all(jnp.isfinite(far)))
+
+
+class TestSphereTracing:
+    def test_converges_on_sphere(self):
+        f = sphere_sdf(0.5)
+        o = jnp.array([[[0.0, 0.0, -0.95], [0.0, -0.95, 0.0], [-0.9, 0.0, 0.0]]])
+        d = -o / jnp.linalg.norm(o, axis=-1, keepdims=True)
+        res = sphere_trace_along_rays(f, o, d, max_iters=30, tolerance=1e-5)
+        assert bool(jnp.all(res.mask))
+        np.testing.assert_allclose(np.abs(np.asarray(f(res.points))), 0.0, atol=1e-5)
+        # grad cache is the initial gradient (unit radial here)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(res.grad), axis=-1), 1.0, atol=1e-4)
+
+    def test_escaping_ray_not_converged(self):
+        f = sphere_sdf(0.5)
+        o = jnp.array([[[0.0, 0.9, 0.0]]])
+        d = jnp.array([[[0.0, 1.0, 0.0]]])  # pointing away
+        res = sphere_trace_along_rays(f, o, d, max_iters=20, tolerance=1e-5)
+        assert not bool(res.mask[0, 0])
+
+
+class TestIDRRayTrace:
+    def _rays(self, b=1, n=128, key=0):
+        cam = jnp.array([0.0, 0.0, -2.5])
+        k = jax.random.key(key)
+        ang = jax.random.uniform(k, (b, n, 2), minval=-0.35, maxval=0.35)
+        d = jnp.stack([jnp.tan(ang[..., 0]), jnp.tan(ang[..., 1]),
+                       jnp.ones((b, n))], axis=-1)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.broadcast_to(cam, d.shape), d
+
+    def test_hits_sphere_surface(self):
+        f = sphere_sdf(0.5)
+        cam, dirs = self._rays()
+        gt_mask = jnp.ones(dirs.shape[:-1], dtype=bool)
+        res = ray_trace(f, cam, dirs, gt_mask, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=30), training=False)
+        hits = np.asarray(res.network_object_mask)
+        assert hits.sum() > 0
+        sdf_at = np.asarray(f(res.points))
+        assert np.abs(sdf_at[hits]).max() < 1e-3
+        # analytic depth check: t = |c| - sqrt(r² - b²) along center rays
+        center_ray = np.argmax(np.asarray(dirs[..., 2]))
+        assert abs(np.asarray(res.dists).ravel()[center_ray] - 2.0) < 1e-2
+
+    def test_torus_with_secant_fallback(self):
+        f = torus_sdf()
+        cam, dirs = self._rays(n=256, key=3)
+        gt_mask = jnp.ones(dirs.shape[:-1], dtype=bool)
+        res = ray_trace(f, cam, dirs, gt_mask, jax.random.key(2),
+                        RayTracingConfig(sphere_tracing_iters=10), training=True)
+        hits = np.asarray(res.network_object_mask)
+        assert hits.sum() > 0
+        sdf_at = np.asarray(f(res.points))
+        assert np.abs(sdf_at[hits]).max() < 5e-3
+
+    def test_training_fallback_points_on_rays(self):
+        f = sphere_sdf(0.3)
+        cam, dirs = self._rays(n=64, key=5)
+        gt_mask = jnp.zeros(dirs.shape[:-1], dtype=bool)  # all "out" pixels
+        res = ray_trace(f, cam, dirs, gt_mask, jax.random.key(4), training=True)
+        # every point must lie on its ray
+        t = jnp.sum((res.points - cam) * dirs, axis=-1)
+        recon = cam + t[..., None] * dirs
+        np.testing.assert_allclose(np.asarray(recon), np.asarray(res.points), atol=1e-4)
+
+
+class TestZeroCrossing:
+    def test_sdf_crossing(self):
+        f = sphere_sdf(0.5)
+        p0 = jnp.array([[[0.0, 0.0, -1.0], [0.0, -1.0, 0.0]]])
+        p1 = jnp.array([[[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]]])
+        pts, mask = find_zero_crossing_between_point_pairs(f, p0, p1)
+        assert bool(jnp.all(mask))
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(pts), axis=-1), 0.5, atol=1e-4)
+
+    def test_no_crossing(self):
+        f = sphere_sdf(0.5)
+        p0 = jnp.array([[[0.0, 0.0, -2.0]]])
+        p1 = jnp.array([[[0.0, 0.0, -1.0]]])
+        _, mask = find_zero_crossing_between_point_pairs(f, p0, p1)
+        assert not bool(mask[0, 0])
+
+    def test_in_to_out_rejected(self):
+        f = sphere_sdf(0.5)
+        p0 = jnp.array([[[0.0, 0.0, 0.0]]])   # inside
+        p1 = jnp.array([[[0.0, 0.0, 2.0]]])   # outside
+        _, mask = find_zero_crossing_between_point_pairs(f, p0, p1)
+        assert not bool(mask[0, 0])
+        _, mask2 = find_zero_crossing_between_point_pairs(
+            f, p0, p1, allow_in_to_out=True)
+        assert bool(mask2[0, 0])
+
+    def test_occupancy_convention(self):
+        # occupancy: inside = high; f = -(sdf) sign flip via sigmoid-free proxy
+        f = lambda x: -(jnp.linalg.norm(x, axis=-1) - 0.5)
+        p0 = jnp.array([[[0.0, 0.0, -1.0]]])
+        p1 = jnp.array([[[0.0, 0.0, 0.0]]])
+        pts, mask = find_zero_crossing_between_point_pairs(
+            f, p0, p1, is_occupancy=True)
+        assert bool(mask[0, 0])
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(pts), axis=-1), 0.5, atol=1e-4)
+
+
+class TestSamplerCompaction:
+    def test_fraction_matches_full_when_capacity_suffices(self):
+        """sampler_fraction < 1 must agree with the full-width sampler
+        as long as the unconverged count fits the static capacity."""
+        f = torus_sdf()
+        cam = jnp.broadcast_to(jnp.array([0.0, 0.0, -2.5]), (1, 128, 3))
+        k = jax.random.key(7)
+        ang = jax.random.uniform(k, (1, 128, 2), minval=-0.3, maxval=0.3)
+        d = jnp.stack([jnp.tan(ang[..., 0]), jnp.tan(ang[..., 1]),
+                       jnp.ones((1, 128))], axis=-1)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        gt = jnp.ones((1, 128), bool)
+        # few tracing iters -> many rays go to the sampler
+        full = ray_trace(f, cam, d, gt, jax.random.key(1),
+                         RayTracingConfig(sphere_tracing_iters=3),
+                         training=False)
+        frac = ray_trace(f, cam, d, gt, jax.random.key(1),
+                         RayTracingConfig(sphere_tracing_iters=3,
+                                          sampler_fraction=0.99),
+                         training=False)
+        np.testing.assert_array_equal(np.asarray(full.network_object_mask),
+                                      np.asarray(frac.network_object_mask))
+        np.testing.assert_allclose(np.asarray(full.dists),
+                                   np.asarray(frac.dists), atol=1e-5)
+
+    def test_chunked_sampler_matches_full(self):
+        f = sphere_sdf()
+        cam = jnp.broadcast_to(jnp.array([0.0, 0.0, -2.5]), (1, 64, 3))
+        k = jax.random.key(8)
+        ang = jax.random.uniform(k, (1, 64, 2), minval=-0.3, maxval=0.3)
+        d = jnp.stack([jnp.tan(ang[..., 0]), jnp.tan(ang[..., 1]),
+                       jnp.ones((1, 64))], axis=-1)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        gt = jnp.ones((1, 64), bool)
+        full = ray_trace(f, cam, d, gt, jax.random.key(1),
+                         RayTracingConfig(sphere_tracing_iters=3),
+                         training=False)
+        chunked = ray_trace(f, cam, d, gt, jax.random.key(1),
+                            RayTracingConfig(sphere_tracing_iters=3,
+                                             sampler_chunk_rays=16),
+                            training=False)
+        np.testing.assert_allclose(np.asarray(full.dists),
+                                   np.asarray(chunked.dists), atol=1e-5)
