@@ -1,0 +1,431 @@
+"""Differentiable EWA surface-splatting rasterizer.
+
+Parity: reference DSS/core/rasterizer.py (`SurfaceSplatting`,
+`EllipticalRasterizer`) + CUDA kernels DSS/csrc/rasterize_points.cu /
+rasterize_points_backward.cu. Implements:
+
+  * per-point EWA splat setup — projection Jacobian `WJk`
+    (rasterizer.py:441-494), isotropic/global/anisotropic `Vrk`
+    (:257-400), screen variance `GV = Jᵀ Vrk J + σ_aa·I·px²`
+    (:432-435), ellipse conic + axis-aligned radii (:496-549), EWA
+    normalization scaler |detMk|/√(4π²·detGV) (:556-557);
+  * forward rasterization — per-pixel K-closest-by-depth with a
+    depth-merging cut (rasterize_points.cu:64-210), producing
+    idx/zbuf/qvalue/occupancy maps;
+  * the DSS occupancy backward — long-range xy gradient
+    (pixel−point)/dist²·grad_occ inside a `radii_backward_scaler`×
+    enlarged window with inside/outside gating
+    (rasterize_points.cu:673-760, rasterize_points_backward.cu:30-212)
+    — defined as a `jax.custom_vjp`;
+  * zbuf backward — scatter-add of grad_zbuf via the idx map
+    (rasterize_points.cu:823-884).
+
+TPU re-design (SURVEY.md §7 M5): the CUDA coarse→fine binning (shared
+memory bitmasks, atomics, counting sort) is replaced by a tiled
+gather formulation: the image is cut into TxT pixel tiles; each tile
+selects its `max_points_per_tile` front-most overlapping splats with
+one `top_k` (the "coarse" stage), then every pixel in the tile scores
+those candidates and takes its K closest by depth with a second
+`top_k` (the "fine" stage). Everything is dense, branch-free and
+deterministic — no atomics, no sorting networks; `lax.scan` over tile
+rows bounds memory. The backward uses the same tiling with scaled
+radii and a `segment-sum` scatter instead of atomicAdd — deterministic
+where the reference is not.
+
+Pixel convention: pixel centers, +X left / +Y up in NDC —
+x_ndc(col) = (S-2·col-1)/S (rasterization_utils.cuh:8-11 combined with
+the axis flip in rasterize_points.cu:158-161).
+"""
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from isopoints_tpu.core.camera import PerspectiveCamera
+from isopoints_tpu.ops.neighbors import knn_points
+from isopoints_tpu.utils import eps_denom, eps_sqrt
+from isopoints_tpu.utils.mathutils import local_coord_frames
+
+_BIG = 1e10
+
+
+@dataclass(frozen=True)
+class RasterizationSettings:
+    """Parity: PointsRasterizationSettings (rasterizer.py:39-101)."""
+    image_size: int = 256
+    points_per_pixel: int = 5
+    cutoff_threshold: float = 1.0
+    depth_merging_threshold: float = 0.05
+    Vrk_invariant: bool = False      # global h_k (reference Vrk_invariant)
+    Vrk_isotropic: bool = True
+    radii_backward_scaler: float = 10.0
+    antialiasing_sigma: float = 1.0
+    backface_culling: bool = True
+    clip_pts_grad: float = -1.0
+    # TPU tiling knobs (replace bin_size / max_points_per_bin)
+    tile_size: int = 16
+    max_points_per_tile: int = 256
+    knn_k: int = 7
+
+
+class Fragments(NamedTuple):
+    """Parity: PointFragments (rasterizer.py:31-37)."""
+    idx: jax.Array        # (B, S, S, K) int32, -1 empty
+    zbuf: jax.Array       # (B, S, S, K) view depth, -1 empty
+    qvalue: jax.Array     # (B, S, S, K) ellipse quadratic value
+    occupancy: jax.Array  # (B, S, S) 0/1
+
+
+class SplatParams(NamedTuple):
+    pts_ndc: jax.Array   # (B, P, 3) [x_ndc, y_ndc, view depth]
+    ellipse: jax.Array   # (B, P, 3) conic (a, b, c)
+    radii: jax.Array     # (B, P, 2) axis-aligned NDC radii
+    cutoff: jax.Array    # (B, P) per-point cutoff threshold
+    scaler: jax.Array    # (B, P) EWA normalization
+    mask: jax.Array      # (B, P) renderable after depth/backface filters
+
+
+def _tangent_basis(normals: jax.Array) -> jax.Array:
+    """Deterministic orthonormal (u0, u1) ⊥ n, stacked (..., 2, 3).
+
+    The reference uses a random cross product (rasterizer.py:336-341);
+    any basis spans the same tangent plane, so we pick a branchless
+    deterministic one (stable under jit, reproducible).
+    """
+    n = normals / jnp.maximum(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+    ez = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), n.shape)
+    ex = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), n.shape)
+    a = jnp.where(jnp.abs(n[..., 2:3]) < 0.9, ez, ex)
+    u0 = jnp.cross(n, a)
+    u0 = u0 / jnp.maximum(jnp.linalg.norm(u0, axis=-1, keepdims=True), 1e-12)
+    u1 = jnp.cross(n, u0)
+    return jnp.stack([u0, u1], axis=-2)
+
+
+def compute_splat_params(points: jax.Array, normals: jax.Array, mask: jax.Array,
+                         camera: PerspectiveCamera,
+                         settings: RasterizationSettings) -> SplatParams:
+    """Per-point EWA parameters (rasterizer.py:523-563 _get_per_point_info,
+    plus the depth/backface filters :149-218).
+
+    Only `pts_ndc` carries gradients (the reference detaches all
+    per-point info and only the screen-space transform is
+    differentiable, rasterizer.py:558-563,618).
+    """
+    s = settings
+    b, p, _ = points.shape
+
+    view = camera.world_to_view(points)                       # (B, P, 3)
+    z = view[..., 2]
+    depth_ok = (z >= camera.znear) & (z <= camera.zfar)
+    rmask = mask & depth_ok
+    if s.backface_culling:
+        normals_view = jnp.einsum("bpi,bij->bpj", normals, camera.R)
+        rmask = rmask & (normals_view[..., 2] < 0)
+
+    pts_ndc = camera.project_ndc(points, with_view_depth=True)
+
+    sg = jax.lax.stop_gradient
+    points_d = sg(points)
+    normals_d = sg(normals)
+
+    # --- Vrk: h_k from knn spacing (rasterizer.py:344-400)
+    res = knn_points(points_d, points_d, mask, mask, k=s.knn_k, exclude_self=True)
+    sq = jnp.where(res.mask, res.dists, 0.0)
+    h_k = 0.5 * jnp.max(sq, axis=-1)                          # (B, P)
+    # too-few-neighbor clouds: fixed spacing (reference :377)
+    enough = jnp.sum(mask.astype(jnp.int32), axis=-1, keepdims=True) >= s.knn_k
+    h_k = jnp.where(enough, h_k, 1e-3)
+    if s.Vrk_invariant:
+        denom = jnp.maximum(jnp.sum(rmask, axis=-1, keepdims=True), 1)
+        h_k = jnp.sum(jnp.where(rmask, h_k, 0.0), axis=-1, keepdims=True) / denom
+        h_k = jnp.clip(h_k, 5e-5, 1e-3) * jnp.ones_like(z)
+    else:
+        h_k = jnp.clip(h_k, 5e-5, 0.01)
+
+    Sk = _tangent_basis(normals_d)                            # (B, P, 2, 3)
+    if s.Vrk_isotropic or s.Vrk_invariant:
+        Vrk = h_k[..., None, None] * jnp.einsum("bpki,bpkj->bpij", Sk, Sk)
+    else:
+        # anisotropic: curvature-scaled tangent variance (rasterizer.py:257-292)
+        from isopoints_tpu.ops.neighbors import knn_gather
+        nn = knn_gather(points_d, res.idx)
+        evals, frames = local_coord_frames(points_d, nn, res.mask)
+        tang = frames[..., 1:]                                # (B,P,3,2) ascending evals
+        curv = evals[..., 1:]
+        Vrk = jnp.einsum("bpik,bpk,bpjk->bpij", tang, curv, tang)
+        Sk = jnp.swapaxes(tang, -1, -2)
+
+    # --- projection Jacobian Mk = d ndc_xy / d p_world (rasterizer.py:441-494)
+    # view = p @ R + T  =>  dview/dp = R (row-vector convention);
+    # ndc = [fx·x/z + px, fy·y/z + py]  =>  Jv (3, 2)
+    view_d = sg(view)
+    zd = eps_denom(view_d[..., 2], 1e-10)
+    fl = camera.focal_length[:, None, :]                      # (B, 1, 2)
+    j00 = fl[..., 0] / zd
+    j11 = fl[..., 1] / zd
+    j20 = -fl[..., 0] * view_d[..., 0] / (zd * zd)
+    j21 = -fl[..., 1] * view_d[..., 1] / (zd * zd)
+    zero = jnp.zeros_like(j00)
+    Jv = jnp.stack([
+        jnp.stack([j00, zero], -1),
+        jnp.stack([zero, j11], -1),
+        jnp.stack([j20, j21], -1),
+    ], axis=-2)                                               # (B, P, 3, 2)
+    Mk = jnp.einsum("bij,bpjk->bpik", camera.R, Jv)           # (B, P, 3, 2)
+
+    # --- screen variance GV = Mkᵀ Vrk Mk + σ_aa·I·px² (rasterizer.py:432-435)
+    Vk = jnp.einsum("bpij,bpik,bpkl->bpjl", Mk, Vrk, Mk)
+    pixel_size = 2.0 / s.image_size
+    GV = Vk + s.antialiasing_sigma * (pixel_size ** 2) * jnp.eye(2)
+
+    detMk = jnp.linalg.det(jnp.einsum("bpki,bpij->bpkj", Sk[..., :2, :], Mk))
+    detGV = GV[..., 0, 0] * GV[..., 1, 1] - GV[..., 0, 1] * GV[..., 1, 0]
+    inv_det = 1.0 / eps_denom(detGV, 1e-12)
+    inv00 = GV[..., 1, 1] * inv_det
+    inv11 = GV[..., 0, 0] * inv_det
+    inv01 = -GV[..., 0, 1] * inv_det
+    inv10 = -GV[..., 1, 0] * inv_det
+    ellipse = jnp.stack([inv00, inv01 + inv10, inv11], axis=-1)
+
+    # --- axis-aligned radii (rasterizer.py:496-521)
+    a, bb, c = ellipse[..., 0], ellipse[..., 1], ellipse[..., 2]
+    cut = jnp.full_like(a, s.cutoff_threshold)
+    denom = eps_denom(4.0 * a * c - bb * bb, 1e-12)
+    ry = jnp.sqrt(eps_sqrt(4.0 * a * cut / denom, 1e-17))
+    rx = jnp.sqrt(eps_sqrt(4.0 * c * cut / denom, 1e-17))
+    radii = jnp.stack([rx, ry], axis=-1)
+
+    scaler = jnp.abs(detMk) / eps_denom(
+        jnp.sqrt(eps_sqrt(detGV * 4.0 * math.pi * math.pi, 1e-17)), 1e-12)
+
+    return SplatParams(pts_ndc=pts_ndc, ellipse=sg(ellipse), radii=sg(radii),
+                       cutoff=sg(cut), scaler=sg(scaler), mask=rmask)
+
+
+# ---------------------------------------------------------------------------
+# Forward rasterization (rasterize_points.cu:64-210 semantics)
+# ---------------------------------------------------------------------------
+
+def _pixel_ndc(idx: jax.Array, size: int) -> jax.Array:
+    """Pixel-center NDC coordinate with the reference's axis flip:
+    ndc(col) = (S − 2·col − 1)/S (decreasing; +X left, +Y up)."""
+    return (size - 2.0 * idx.astype(jnp.float32) - 1.0) / size
+
+
+def _tile_candidates(px, py, z, rx, ry, valid, cy, cx, half, m):
+    """Select the `m` front-most splats whose bbox touches the tile.
+
+    Returns (cand_idx (nt, m), cand_ok (nt, m)) for one row of tiles.
+    cy is scalar (tile-row center), cx (nt,) per-tile centers.
+    """
+    overlap_y = jnp.abs(py - cy) <= (ry + half)               # (P,)
+    overlap = overlap_y[None, :] & \
+        (jnp.abs(px[None, :] - cx[:, None]) <= (rx[None, :] + half))  # (nt, P)
+    ok = overlap & valid[None, :]
+    score = jnp.where(ok, -z[None, :], -_BIG)
+    neg_z, cand_idx = jax.lax.top_k(score, m)                 # (nt, m)
+    return cand_idx, neg_z > -_BIG * 0.5
+
+
+def _rasterize_one(pts, ellipse, radii, cutoff, valid,
+                   settings: RasterizationSettings):
+    """Rasterize one cloud. pts (P, 3) in [x_ndc, y_ndc, depth]."""
+    s = settings
+    S, T, K = s.image_size, s.tile_size, s.points_per_pixel
+    M = min(s.max_points_per_tile, pts.shape[0])
+    assert S % T == 0, "image_size must be a multiple of tile_size"
+    nt = S // T
+
+    px, py, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    rx, ry = radii[:, 0], radii[:, 1]
+    valid = valid & (z >= 0)  # behind-camera skip (rasterize_points.cu:88-89)
+
+    cols = jnp.arange(S)
+    xs = _pixel_ndc(cols, S)                                  # (S,) decreasing
+    half = float(T - 1) / S  # distance from tile center to farthest pixel center
+
+    tile_centers_x = 0.5 * (xs[::T] + xs[T - 1::T])           # (nt,)
+
+    def row_fn(ti):
+        rows = ti * T + jnp.arange(T)
+        ys = _pixel_ndc(rows, S)                              # (T,)
+        cy = 0.5 * (ys[0] + ys[-1])
+        cand_idx, cand_ok = _tile_candidates(
+            px, py, z, rx, ry, valid, cy, tile_centers_x, half, M)  # (nt, M)
+
+        g = lambda v: v[cand_idx]                              # (nt, M)
+        cpx, cpy, cz = g(px), g(py), g(z)
+        ca, cb, cc = g(ellipse[:, 0]), g(ellipse[:, 1]), g(ellipse[:, 2])
+        crx, cry, ccut = g(rx), g(ry), g(cutoff)
+
+        # pixel grid of this tile row: (T rows, nt*T cols)
+        xf = xs.reshape(nt, T)                                 # (nt, T)
+        # dx,dy: (nt, T, T, M) = (tile, row, col, cand)
+        dx = xf[:, None, :, None] - cpx[:, None, None, :]
+        dy = ys[None, :, None, None] - cpy[:, None, None, :]
+        q = ca[:, None, None, :] * dx * dx + cb[:, None, None, :] * dx * dy \
+            + cc[:, None, None, :] * dy * dy
+        inside = (jnp.abs(dx) <= crx[:, None, None, :]) & \
+                 (jnp.abs(dy) <= cry[:, None, None, :]) & \
+                 (q <= ccut[:, None, None, :]) & cand_ok[:, None, None, :]
+
+        zmask = jnp.where(inside, cz[:, None, None, :], _BIG)
+        negz, kidx = jax.lax.top_k(-zmask, K)                  # (nt, T, T, K)
+        zk = -negz
+        kvalid = zk < _BIG * 0.5
+        # depth merging cut (rasterize_points.cu:201-210)
+        kvalid = kvalid & ((zk - zk[..., :1]) <= s.depth_merging_threshold)
+
+        pick = lambda arr: jnp.take_along_axis(arr, kidx, axis=-1)
+        qk = pick(q)
+        idxk = jnp.take_along_axis(
+            jnp.broadcast_to(cand_idx[:, None, None, :], zmask.shape), kidx, axis=-1)
+        idxk = jnp.where(kvalid, idxk, -1)
+        zk = jnp.where(kvalid, zk, -1.0)
+        qk = jnp.where(kvalid, qk, -1.0)
+        occ = jnp.any(inside, axis=-1).astype(jnp.float32)     # (nt, T, T)
+
+        # (nt, T, T, K) -> (T rows, nt*T cols, K)
+        tr = lambda v: v.transpose(1, 0, 2, 3).reshape(T, nt * T, K)
+        return tr(idxk), tr(zk), tr(qk), occ.transpose(1, 0, 2).reshape(T, nt * T)
+
+    idx, zbuf, qv, occ = jax.lax.map(row_fn, jnp.arange(nt))
+    return (idx.reshape(S, S, K), zbuf.reshape(S, S, K),
+            qv.reshape(S, S, K), occ.reshape(S, S))
+
+
+def _occ_backward_one(pts, radii, visible, grad_occ,
+                      settings: RasterizationSettings):
+    """DSS occupancy→xy gradient for one cloud.
+
+    Parity: RasterizePointsOccBackwardCudaKernel
+    (rasterize_points.cu:673-760): for every pixel with grad_occ≠0 and
+    every visible point whose `radii_backward_scaler`-scaled bbox
+    covers it, accumulate (pixel−point)/dist²·grad_occ, skipping
+    positive-grad pixels outside the unscaled splat bbox.
+    """
+    s = settings
+    S, T = s.image_size, s.tile_size
+    M = min(s.max_points_per_tile, pts.shape[0])
+    nt = S // T
+    rs = s.radii_backward_scaler
+
+    px, py, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    rx, ry = radii[:, 0], radii[:, 1]
+    renderable = visible & (z >= 0) & (jnp.abs(px) <= 1.0) & (jnp.abs(py) <= 1.0)
+
+    cols = jnp.arange(S)
+    xs = _pixel_ndc(cols, S)
+    half = float(T - 1) / S
+    tile_centers_x = 0.5 * (xs[::T] + xs[T - 1::T])
+    grad_occ = grad_occ.reshape(nt, T, nt, T)                  # (ti, r, tj, c)
+
+    def row_fn(ti):
+        rows = ti * T + jnp.arange(T)
+        ys = _pixel_ndc(rows, S)
+        cy = 0.5 * (ys[0] + ys[-1])
+        cand_idx, cand_ok = _tile_candidates(
+            px, py, z, rx * rs, ry * rs, renderable, cy, tile_centers_x, half, M)
+
+        g = lambda v: v[cand_idx]
+        cpx, cpy = g(px), g(py)
+        crx, cry = g(rx), g(ry)
+        go = grad_occ[ti].transpose(1, 0, 2)                   # (nt, T_row, T_col)
+
+        dx = xs.reshape(nt, T)[:, None, :, None] - cpx[:, None, None, :]
+        dy = ys[None, :, None, None] - cpy[:, None, None, :]
+        in_window = (jnp.abs(dx) <= (crx * rs)[:, None, None, :]) & \
+                    (jnp.abs(dy) <= (cry * rs)[:, None, None, :])
+        outside_splat = (jnp.abs(dx) > crx[:, None, None, :]) | \
+                        (jnp.abs(dy) > cry[:, None, None, :])
+        gop = go[..., None]                                    # (nt, T, T, 1)
+        use = in_window & cand_ok[:, None, None, :] & (gop != 0.0) & \
+            ~((gop > 0.0) & outside_splat)
+        denom = eps_denom(dx * dx + dy * dy, 1e-10)
+        gx = jnp.where(use, dx / denom * gop, 0.0).sum(axis=(1, 2))   # (nt, M)
+        gy = jnp.where(use, dy / denom * gop, 0.0).sum(axis=(1, 2))
+        return cand_idx, gx, gy
+
+    cand_idx, gx, gy = jax.lax.map(row_fn, jnp.arange(nt))     # (nt, nt, M)
+    flat_idx = cand_idx.reshape(-1)
+    grad = jnp.zeros((pts.shape[0], 2), pts.dtype)
+    grad = grad.at[flat_idx, 0].add(gx.reshape(-1), mode="drop")
+    grad = grad.at[flat_idx, 1].add(gy.reshape(-1), mode="drop")
+    return grad
+
+
+def _rasterize_fwd_impl(pts_ndc, ellipse, radii, cutoff, mask, settings):
+    f = jax.vmap(partial(_rasterize_one, settings=settings))
+    idx, zbuf, qv, occ = f(pts_ndc, ellipse, radii, cutoff, mask)
+    return Fragments(idx=idx, zbuf=zbuf, qvalue=qv, occupancy=occ)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def rasterize_splats(pts_ndc, ellipse, radii, cutoff, mask,
+                     settings: RasterizationSettings) -> Fragments:
+    """Differentiable splat rasterization (EllipticalRasterizer.apply).
+
+    Gradients flow ONLY to `pts_ndc`: xy from the occupancy map (DSS
+    long-range gradient), z from zbuf scatter. qvalue/idx cotangents
+    are discarded (parity: rasterizer.py:784-785 — color gradients flow
+    through the compositor weights instead).
+    """
+    return _rasterize_fwd_impl(pts_ndc, ellipse, radii, cutoff, mask, settings)
+
+
+def _rasterize_fwd(pts_ndc, ellipse, radii, cutoff, mask, settings):
+    frags = _rasterize_fwd_impl(pts_ndc, ellipse, radii, cutoff, mask, settings)
+    res = (pts_ndc, radii, mask, frags.idx)
+    return frags, res
+
+
+def _rasterize_bwd(settings, res, g: Fragments):
+    import numpy as np
+
+    pts_ndc, radii, mask, idx = res
+    b, p, _ = pts_ndc.shape
+
+    # visibility: only points present in the idx map get gradients
+    # (rasterizer.py:850-863)
+    visible = visible_point_mask(idx, p)
+
+    gxy = jax.vmap(partial(_occ_backward_one, settings=settings))(
+        pts_ndc, radii, visible & mask, g.occupancy)
+
+    # zbuf scatter-add (ZbufBackwardKernel, rasterize_points.cu:823-846)
+    def zb(one_idx, one_gz):
+        flat_i = one_idx.reshape(-1)
+        flat_g = jnp.where(flat_i >= 0, one_gz.reshape(-1), 0.0)
+        return jnp.zeros((p,), pts_ndc.dtype).at[
+            jnp.where(flat_i >= 0, flat_i, p)].add(flat_g, mode="drop")
+    gz = jax.vmap(zb)(idx, g.zbuf)
+
+    grad_pts = jnp.concatenate([gxy, gz[..., None]], axis=-1)
+    if settings.clip_pts_grad > 0:
+        n = jnp.linalg.norm(grad_pts, axis=-1, keepdims=True)
+        grad_pts = grad_pts / jnp.maximum(n, 1e-12) * \
+            jnp.minimum(n, settings.clip_pts_grad)
+    ellipse_shape = pts_ndc.shape[:-1] + (3,)
+    return (grad_pts,
+            jnp.zeros(ellipse_shape, pts_ndc.dtype),   # ellipse
+            jnp.zeros_like(radii),                     # radii
+            jnp.zeros((b, p), pts_ndc.dtype),          # cutoff
+            np.zeros(mask.shape, jax.dtypes.float0))   # mask (bool)
+
+
+rasterize_splats.defvjp(_rasterize_fwd, _rasterize_bwd)
+
+
+def visible_point_mask(idx: jax.Array, num_points: int) -> jax.Array:
+    """(B, P) mask of points appearing in the idx maps
+    (get_per_point_visibility_mask, utils/__init__.py:378-399)."""
+    def one(im):
+        safe = jnp.where(im >= 0, im, num_points)
+        return jnp.zeros((num_points,), bool).at[safe.reshape(-1)].set(
+            True, mode="drop")
+    return jax.vmap(one)(idx)

@@ -1,0 +1,67 @@
+"""Surface-splatting renderer: point cloud + camera -> RGBA image.
+
+Parity: reference DSS/core/renderer.py (`SurfaceSplattingRenderer`):
+rasterize -> fragment weights exp(-0.5·q)·scaler -> normalized
+weighted-sum composite -> RGBA with the occupancy map as alpha.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from isopoints_tpu.core.camera import PerspectiveCamera
+from isopoints_tpu.core.cloud import PointCloud
+from isopoints_tpu.rendering.compositor import (
+    norm_weighted_sum_composite,
+    weighted_sum_composite,
+)
+from isopoints_tpu.rendering.rasterizer import (
+    Fragments,
+    RasterizationSettings,
+    compute_splat_params,
+    rasterize_splats,
+    visible_point_mask,
+)
+
+
+class RenderOutput(NamedTuple):
+    rgba: jax.Array        # (B, S, S, 4)
+    fragments: Fragments
+    visibility: jax.Array  # (B, P) points that produced fragments
+
+
+def render_pointcloud(cloud: PointCloud, camera: PerspectiveCamera,
+                      settings: RasterizationSettings,
+                      features: Optional[jax.Array] = None,
+                      normalize_weights: bool = True) -> RenderOutput:
+    """Full splat-render pipeline (renderer.py:36-82).
+
+    Args:
+      cloud: points+normals(+features). `features[..., :3]` are RGB.
+      features: optional override for cloud.features.
+    """
+    if features is None:
+        features = cloud.features
+    if features is None:
+        features = jnp.ones_like(cloud.points)
+
+    params = compute_splat_params(cloud.points, cloud.normals, cloud.mask,
+                                  camera, settings)
+    frags = rasterize_splats(params.pts_ndc, params.ellipse, params.radii,
+                             params.cutoff, params.mask, settings)
+
+    # weights = exp(-0.5 q) * scaler (renderer.py:53-57); per-point info
+    # is detached, so color gradients reach features only (parity)
+    valid = frags.idx >= 0
+    safe = jnp.where(valid, frags.idx, 0)
+    frag_scaler = jax.vmap(lambda s, i: s[i])(params.scaler, safe)
+    weights = jnp.where(valid, jnp.exp(-0.5 * frags.qvalue) * frag_scaler, 0.0)
+
+    composite = norm_weighted_sum_composite if normalize_weights \
+        else weighted_sum_composite
+    rgb = composite(frags.idx, weights, features[..., :3])
+    rgba = jnp.concatenate([rgb, frags.occupancy[..., None]], axis=-1)
+
+    visibility = visible_point_mask(frags.idx, cloud.capacity)
+    return RenderOutput(rgba=rgba, fragments=frags, visibility=visibility)

@@ -1,0 +1,248 @@
+"""Rendering stack tests: EWA params, rasterization, gradients, lighting.
+
+Oracles: a dense brute-force per-pixel rasterizer (numpy semantics of
+rasterize_points.cu:131-212) must agree exactly with the tiled
+implementation; the DSS occupancy gradient must match a dense
+re-implementation of rasterize_points.cu:673-760.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isopoints_tpu.core.camera import PerspectiveCamera, look_at_view_transform
+from isopoints_tpu.core.cloud import PointCloud
+from isopoints_tpu.rendering import (
+    DirectionalLights,
+    RasterizationSettings,
+    compute_splat_params,
+    lighting_texture,
+    norm_weighted_sum_composite,
+    rasterize_splats,
+    render_pointcloud,
+)
+from isopoints_tpu.rendering.rasterizer import _pixel_ndc
+
+
+def sphere_cloud(n=512, r=0.5, key=0):
+    k = jax.random.key(key)
+    d = jax.random.normal(k, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    pts = (r * d)[None]
+    normals = d[None]
+    return PointCloud.create(points=pts, normals=normals)
+
+
+def camera_at(dist=2.0, image_size=64):
+    R, T = look_at_view_transform(dist, 0.0, 0.0)
+    return PerspectiveCamera.create(R=R, T=T, focal_length=2.0)
+
+
+def dense_rasterize(pts, ellipse, radii, cutoff, mask, S, K, depth_thres):
+    """Brute-force per-pixel reference (numpy)."""
+    pts, ellipse, radii, cutoff = map(np.asarray, (pts, ellipse, radii, cutoff))
+    mask = np.asarray(mask)
+    P = pts.shape[0]
+    idx_map = -np.ones((S, S, K), np.int32)
+    zbuf = -np.ones((S, S, K), np.float32)
+    qmap = -np.ones((S, S, K), np.float32)
+    occ = np.zeros((S, S), np.float32)
+    xs = np.asarray(_pixel_ndc(jnp.arange(S), S))
+    for r in range(S):
+        for c in range(S):
+            xf, yf = xs[c], xs[r]
+            cands = []
+            for p in range(P):
+                if not mask[p] or pts[p, 2] < 0:
+                    continue
+                dx, dy = xf - pts[p, 0], yf - pts[p, 1]
+                if abs(dx) > radii[p, 0] or abs(dy) > radii[p, 1]:
+                    continue
+                q = ellipse[p, 0] * dx * dx + ellipse[p, 1] * dx * dy + \
+                    ellipse[p, 2] * dy * dy
+                if q > cutoff[p]:
+                    continue
+                cands.append((pts[p, 2], p, q))
+            if not cands:
+                continue
+            occ[r, c] = 1.0
+            cands.sort()
+            for k, (z, p, q) in enumerate(cands[:K]):
+                if z - cands[0][0] > depth_thres:
+                    break
+                idx_map[r, c, k] = p
+                zbuf[r, c, k] = z
+                qmap[r, c, k] = q
+    return idx_map, zbuf, qmap, occ
+
+
+class TestSplatParams:
+    def test_shapes_and_finiteness(self):
+        cloud = sphere_cloud()
+        cam = camera_at()
+        s = RasterizationSettings(image_size=64)
+        p = compute_splat_params(cloud.points, cloud.normals, cloud.mask, cam, s)
+        assert p.pts_ndc.shape == (1, 512, 3)
+        assert p.ellipse.shape == (1, 512, 3)
+        assert bool(jnp.all(jnp.isfinite(p.pts_ndc)))
+        assert bool(jnp.all(jnp.isfinite(jnp.where(p.mask[..., None], p.radii, 0.0))))
+        # backface culling keeps roughly the front hemisphere
+        frac = float(jnp.mean(p.mask.astype(jnp.float32)))
+        assert 0.3 < frac < 0.7
+
+    def test_radii_positive_on_visible(self):
+        cloud = sphere_cloud()
+        cam = camera_at()
+        s = RasterizationSettings(image_size=64)
+        p = compute_splat_params(cloud.points, cloud.normals, cloud.mask, cam, s)
+        r = np.asarray(p.radii)[np.asarray(p.mask)]
+        assert (r > 0).all()
+
+    def test_ndc_gradient_flows(self):
+        cloud = sphere_cloud(64)
+        cam = camera_at()
+        s = RasterizationSettings(image_size=32)
+
+        def f(pts):
+            p = compute_splat_params(pts, cloud.normals, cloud.mask, cam, s)
+            return jnp.sum(p.pts_ndc)
+
+        g = jax.grad(f)(cloud.points)
+        assert bool(jnp.any(g != 0))
+
+
+class TestRasterizeMatchesDense:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_tiled_equals_dense(self, seed):
+        cloud = sphere_cloud(128, key=seed)
+        cam = camera_at()
+        S, K = 32, 5
+        s = RasterizationSettings(image_size=S, points_per_pixel=K,
+                                  tile_size=8, max_points_per_tile=128)
+        p = compute_splat_params(cloud.points, cloud.normals, cloud.mask, cam, s)
+        frags = rasterize_splats(p.pts_ndc, p.ellipse, p.radii, p.cutoff,
+                                 p.mask, s)
+        d_idx, d_z, d_q, d_occ = dense_rasterize(
+            p.pts_ndc[0], p.ellipse[0], p.radii[0], p.cutoff[0], p.mask[0],
+            S, K, s.depth_merging_threshold)
+        np.testing.assert_array_equal(np.asarray(frags.occupancy[0]), d_occ)
+        np.testing.assert_array_equal(np.asarray(frags.idx[0]), d_idx)
+        np.testing.assert_allclose(np.asarray(frags.zbuf[0]), d_z, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(frags.qvalue[0]), d_q, atol=1e-5)
+
+    def test_occupancy_shape_roughly_circular(self):
+        cloud = sphere_cloud(2048)
+        cam = camera_at()
+        s = RasterizationSettings(image_size=64, tile_size=16)
+        p = compute_splat_params(cloud.points, cloud.normals, cloud.mask, cam, s)
+        frags = rasterize_splats(p.pts_ndc, p.ellipse, p.radii, p.cutoff,
+                                 p.mask, s)
+        occ = np.asarray(frags.occupancy[0])
+        assert occ.sum() > 100
+        # center pixel occupied, corners empty
+        assert occ[32, 32] == 1.0
+        assert occ[0, 0] == 0.0 and occ[-1, -1] == 0.0
+
+
+class TestRasterizeBackward:
+    def test_occ_gradient_pulls_points_toward_uncovered(self):
+        """A pixel that wants to be covered (grad_occ < 0) must pull
+        nearby points toward it (reference grad = d/dist²·g_occ)."""
+        cloud = sphere_cloud(256)
+        cam = camera_at()
+        s = RasterizationSettings(image_size=32, tile_size=8)
+        p = compute_splat_params(cloud.points, cloud.normals, cloud.mask, cam, s)
+
+        target = jnp.zeros((1, 32, 32))
+        target = target.at[:, :20, :].set(1.0)  # want top rows covered
+
+        def loss(pts_ndc):
+            frags = rasterize_splats(pts_ndc, p.ellipse, p.radii, p.cutoff,
+                                     p.mask, s)
+            return jnp.sum((frags.occupancy - target) ** 2)
+
+        g = jax.grad(loss)(p.pts_ndc)
+        assert bool(jnp.any(g[..., :2] != 0))
+        assert bool(jnp.all(jnp.isfinite(g)))
+        # z gradient zero (no zbuf cotangent in this loss)
+        assert bool(jnp.all(g[..., 2] == 0))
+
+    def test_zbuf_gradient_scatter(self):
+        cloud = sphere_cloud(256)
+        cam = camera_at()
+        s = RasterizationSettings(image_size=32, tile_size=8)
+        p = compute_splat_params(cloud.points, cloud.normals, cloud.mask, cam, s)
+
+        def loss(pts_ndc):
+            frags = rasterize_splats(pts_ndc, p.ellipse, p.radii, p.cutoff,
+                                     p.mask, s)
+            return jnp.sum(jnp.where(frags.idx >= 0, frags.zbuf, 0.0))
+
+        g = jax.grad(loss)(p.pts_ndc)
+        assert bool(jnp.any(g[..., 2] != 0))
+        # dL/dz of a point = number of fragments it appears in (all weights 1)
+        frags = rasterize_splats(p.pts_ndc, p.ellipse, p.radii, p.cutoff,
+                                 p.mask, s)
+        counts = np.zeros(256)
+        for v in np.asarray(frags.idx[0]).reshape(-1):
+            if v >= 0:
+                counts[v] += 1
+        np.testing.assert_allclose(np.asarray(g[0, :, 2]), counts, atol=1e-5)
+
+
+class TestRenderer:
+    def test_rgba_image(self):
+        cloud = sphere_cloud(2048).with_features(
+            jnp.tile(jnp.asarray([1.0, 0.2, 0.1]), (1, 2048, 1)))
+        cam = camera_at()
+        s = RasterizationSettings(image_size=64, tile_size=16)
+        out = render_pointcloud(cloud, cam, s)
+        assert out.rgba.shape == (1, 64, 64, 4)
+        img = np.asarray(out.rgba)
+        assert np.isfinite(img).all()
+        occ = img[..., 3]
+        # covered pixels roughly red
+        red = img[0, occ[0] > 0, 0]
+        assert red.mean() > 0.5
+        assert bool(np.asarray(out.visibility).sum()) > 0
+
+    def test_color_gradient_flows_to_features(self):
+        cloud = sphere_cloud(512)
+        cam = camera_at()
+        s = RasterizationSettings(image_size=32, tile_size=8)
+        feats = jnp.ones((1, 512, 3)) * 0.5
+
+        def loss(f):
+            out = render_pointcloud(cloud.with_features(f), cam, s)
+            return jnp.sum(out.rgba[..., :3])
+
+        g = jax.grad(loss)(feats)
+        assert bool(jnp.any(g != 0))
+
+
+class TestLighting:
+    def test_directional_phong(self):
+        pts = jnp.zeros((1, 4, 3))
+        normals = jnp.asarray([[[0, 0, -1.0], [0, 0, 1.0],
+                                [0, 1.0, 0], [1.0, 0, 0]]])
+        lights = DirectionalLights.create(
+            ambient_color=[[0.1, 0.1, 0.1]],
+            diffuse_color=[[0.8, 0.8, 0.8]],
+            specular_color=[[0.0, 0.0, 0.0]],
+            direction=[[0.0, 0.0, -1.0]])
+        cam_pos = jnp.asarray([[0.0, 0.0, -3.0]])
+        rgb = lighting_texture(pts, normals, lights, cam_pos)
+        rgb = np.asarray(rgb)
+        # normal facing the light: ambient + diffuse; facing away: ambient only
+        np.testing.assert_allclose(rgb[0, 0], 0.9, atol=1e-5)
+        np.testing.assert_allclose(rgb[0, 1], 0.1, atol=1e-5)
+        np.testing.assert_allclose(rgb[0, 2], 0.1, atol=1e-5)
+
+    def test_compositor_normalization(self):
+        idx = jnp.asarray([[[[0, 1, -1]]]])
+        w = jnp.asarray([[[[2.0, 2.0, 5.0]]]])
+        feats = jnp.asarray([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]])
+        out = norm_weighted_sum_composite(idx, w, feats)
+        np.testing.assert_allclose(np.asarray(out[0, 0, 0]), [0.5, 0.5, 0.0],
+                                   atol=1e-6)
