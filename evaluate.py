@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Mesh quality evaluation entry.
+
+Parity: reference evaluation.py — per experiment dir: GT points
+(sampled once and cached) vs each generated mesh's 50k samples →
+chamfer-p / chamfer-n / point-face distance → CSV.
+
+Usage:
+  python evaluate.py out/run --gt-mesh gt.ply
+  python evaluate.py out/run --gt-sdf sphere      # analytic GT (CI)
+"""
+
+import argparse
+import csv
+import glob
+import os
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("exp_dir", type=str)
+    parser.add_argument("--gt-mesh", type=str, default=None,
+                        help="GT mesh .ply (sampled to 50k points)")
+    parser.add_argument("--gt-points", type=str, default=None,
+                        help="GT point cloud .ply")
+    parser.add_argument("--gt-sdf", type=str, default=None,
+                        choices=["sphere", "torus", "box"],
+                        help="analytic GT surface (synthetic runs)")
+    parser.add_argument("--n-samples", type=int, default=50000)
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from isopoints_tpu.logger import get_logger
+    from isopoints_tpu.training.evaluation import evaluate_mesh
+    from isopoints_tpu.utils.io import read_ply
+    from isopoints_tpu.utils.meshing import sample_points_from_mesh
+
+    log = get_logger()
+    cache = os.path.join(args.exp_dir, f"val{args.n_samples}.npy")
+    gt_normals = None
+    if os.path.exists(cache):
+        gt_points = np.load(cache)
+    elif args.gt_points:
+        data = read_ply(args.gt_points)
+        gt_points = data["points"][:args.n_samples]
+        gt_normals = data.get("normals")
+    elif args.gt_mesh:
+        data = read_ply(args.gt_mesh)
+        gt_points, gt_normals = sample_points_from_mesh(
+            data["points"], data["faces"], args.n_samples)
+        np.save(cache, gt_points)
+    elif args.gt_sdf:
+        import jax.numpy as jnp
+
+        from isopoints_tpu.data import synthetic
+        from isopoints_tpu.models.levelset import project_points_newton
+
+        sdf_fn = {"sphere": synthetic.sphere_sdf,
+                  "torus": synthetic.torus_sdf,
+                  "box": synthetic.box_sdf}[args.gt_sdf]()
+        rng = np.random.RandomState(0)
+        init = jnp.asarray(rng.uniform(-0.8, 0.8, (1, args.n_samples, 3)),
+                           jnp.float32)
+        proj = project_points_newton(
+            sdf_fn, init, jnp.ones((1, args.n_samples), bool),
+            max_iters=30, tolerance=1e-5)
+        gt_points = np.asarray(proj.points[0])[np.asarray(proj.mask[0])]
+    else:
+        parser.error("one of --gt-mesh/--gt-points/--gt-sdf is required")
+
+    meshes = sorted(glob.glob(os.path.join(args.exp_dir, "**", "*.ply"),
+                              recursive=True))
+    meshes = [m for m in meshes if "mesh" in os.path.basename(m)
+              or os.path.basename(m) == "final.ply"]
+    if not meshes:
+        log.warning("no meshes found under %s", args.exp_dir)
+        return
+
+    out_csv = os.path.join(args.exp_dir, "eval.csv")
+    rows = []
+    for m in meshes:
+        data = read_ply(m)
+        if "faces" not in data or data["faces"] is None:
+            continue
+        metrics = evaluate_mesh(data["points"], data["faces"], gt_points,
+                                gt_normals, n_samples=args.n_samples)
+        row = {"mesh": os.path.relpath(m, args.exp_dir), **metrics}
+        rows.append(row)
+        log.info("%s: %s", row["mesh"],
+                 " ".join(f"{k}={v:.6g}" for k, v in metrics.items()))
+    with open(out_csv, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        writer.writeheader()
+        writer.writerows(rows)
+    log.info("wrote %s", out_csv)
+
+
+if __name__ == "__main__":
+    main()

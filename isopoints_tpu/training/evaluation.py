@@ -1,0 +1,124 @@
+"""Geometry evaluation: chamfer distances + point-to-face distance.
+
+Parity: reference evaluation.py (:50-181) — GT = 50k points sampled
+from the GT mesh; for each predicted mesh, sample 50k points and
+report chamfer-p (bidirectional mean squared point distance),
+chamfer-n (1 − |cos| between nearest-neighbor normals), and
+point-face distance (predicted points to GT triangles).
+"""
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isopoints_tpu.ops.neighbors import knn_gather, knn_points
+from isopoints_tpu.utils.meshing import sample_points_from_mesh
+
+
+def chamfer_distance(x: jax.Array, y: jax.Array,
+                     x_normals: Optional[jax.Array] = None,
+                     y_normals: Optional[jax.Array] = None
+                     ) -> Dict[str, float]:
+    """Symmetric chamfer (squared) + normal consistency.
+
+    Args:
+      x, y: (N, 3) / (M, 3) point sets.
+    """
+    xb, yb = x[None], y[None]
+    res_xy = knn_points(xb, yb, k=1)
+    res_yx = knn_points(yb, xb, k=1)
+    cd = float(jnp.mean(res_xy.dists[..., 0]) + jnp.mean(res_yx.dists[..., 0]))
+    out = {"chamfer_p": cd}
+    if x_normals is not None and y_normals is not None:
+        unit = lambda v: v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        xn, yn = unit(x_normals)[None], unit(y_normals)[None]
+        nn_y = knn_gather(yn, res_xy.idx)[:, :, 0]
+        nn_x = knn_gather(xn, res_yx.idx)[:, :, 0]
+        cos_xy = jnp.abs(jnp.sum(xn * nn_y, axis=-1))
+        cos_yx = jnp.abs(jnp.sum(yn * nn_x, axis=-1))
+        out["chamfer_n"] = float((1.0 - jnp.mean(cos_xy))
+                                 + (1.0 - jnp.mean(cos_yx)))
+    return out
+
+
+def point_face_distance(points: np.ndarray, verts: np.ndarray,
+                        faces: np.ndarray, chunk: int = 4096) -> float:
+    """Mean squared distance from points to the closest mesh triangle.
+
+    Exact point-triangle distance, vectorized over (chunk × F) pairs
+    (pytorch3d point_mesh_face_distance parity, evaluation.py:119-127).
+    """
+    tri = jnp.asarray(verts)[jnp.asarray(faces)]       # (F, 3, 3)
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+
+    @jax.jit
+    def chunk_dist(p):                                  # (C, 3)
+        ab = b - a
+        ac = c - a
+        ap = p[:, None, :] - a[None]                   # (C, F, 3)
+        d1 = jnp.einsum("fd,cfd->cf", ab, ap)
+        d2 = jnp.einsum("fd,cfd->cf", ac, ap)
+        bp = p[:, None, :] - b[None]
+        d3 = jnp.einsum("fd,cfd->cf", ab, bp)
+        d4 = jnp.einsum("fd,cfd->cf", ac, bp)
+        cp = p[:, None, :] - c[None]
+        d5 = jnp.einsum("fd,cfd->cf", ab, cp)
+        d6 = jnp.einsum("fd,cfd->cf", ac, cp)
+
+        va = d3 * d6 - d5 * d4
+        vb = d5 * d2 - d1 * d6
+        vc = d1 * d4 - d3 * d2
+        denom = jnp.maximum(va + vb + vc, 1e-20)
+        v = jnp.clip(vb / denom, 0.0, 1.0)
+        w = jnp.clip(vc / denom, 0.0, 1.0)
+        # interior closest point
+        proj_in = a[None] + v[..., None] * ab[None] + w[..., None] * ac[None]
+
+        # edge/vertex regions via barycentric clamping of each edge
+        def edge_closest(p0, e, d_num, d_den):
+            t = jnp.clip(d_num / jnp.maximum(d_den, 1e-20), 0.0, 1.0)
+            return p0[None] + t[..., None] * e[None]
+
+        cand_ab = edge_closest(a, ab, d1, jnp.sum(ab * ab, -1)[None])
+        cand_ac = edge_closest(a, ac, d2, jnp.sum(ac * ac, -1)[None])
+        bc = c - b
+        dbc = jnp.einsum("fd,cfd->cf", bc, bp)
+        cand_bc = edge_closest(b, bc, dbc, jnp.sum(bc * bc, -1)[None])
+
+        inside = (va >= 0) & (vb >= 0) & (vc >= 0)
+        best = jnp.where(inside[..., None], proj_in, cand_ab)
+        d_best = jnp.sum((p[:, None] - best) ** 2, -1)
+        for cand in (cand_ac, cand_bc, proj_in):
+            d_c = jnp.sum((p[:, None] - cand) ** 2, -1)
+            take = d_c < d_best
+            d_best = jnp.where(take, d_c, d_best)
+        return jnp.min(d_best, axis=1)                  # (C,)
+
+    points = np.asarray(points, np.float32)
+    total, count = 0.0, 0
+    for i in range(0, len(points), chunk):
+        p = jnp.asarray(points[i:i + chunk])
+        d = np.asarray(chunk_dist(p))
+        total += d.sum()
+        count += len(d)
+    return float(total / max(count, 1))
+
+
+def evaluate_mesh(pred_verts: np.ndarray, pred_faces: np.ndarray,
+                  gt_points: np.ndarray,
+                  gt_normals: Optional[np.ndarray] = None,
+                  n_samples: int = 50_000, seed: int = 0) -> Dict[str, float]:
+    """Full mesh evaluation (evaluation.py:75-181): sample n points
+    from the predicted mesh, chamfer vs GT points + point-face."""
+    samples, sample_normals = sample_points_from_mesh(
+        pred_verts, pred_faces, n_samples, seed=seed)
+    metrics = chamfer_distance(
+        jnp.asarray(samples), jnp.asarray(gt_points, np.float32),
+        x_normals=jnp.asarray(sample_normals),
+        y_normals=None if gt_normals is None else jnp.asarray(gt_normals))
+    metrics["point_face"] = point_face_distance(gt_points, pred_verts,
+                                                pred_faces)
+    return metrics

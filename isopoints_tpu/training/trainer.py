@@ -1,0 +1,300 @@
+"""MVR training loop: losses, schedules, iso-point refresh, eval.
+
+Parity: reference DSS/training/trainer.py — `Trainer` (:78):
+`train_step` (:304, scheduler → iso-point resample → compute_loss →
+backward → clip 1.0 → step → weight check), `compute_loss` (:413,
+photoconsistency L1 + freespace/occupancy BCE + eikonal on uniform
+cube points), `eval_step` (:267, mask IoU + image L2), `_query_pcl`
+(:217 → sample_uniform_iso_points cache).
+
+TPU re-design: the inner step is ONE jitted function (loss + grad +
+optimizer update); hyper-parameters that change shapes (ray count,
+iso-point capacity, projection iterations) are resolved host-side from
+the scheduler and select a cached compilation; smooth hyper-parameters
+(loss weights, sdf_alpha) are dynamic scalars. The persistent
+iso-point buffer is threaded explicitly through the step.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from isopoints_tpu.core.camera import PerspectiveCamera
+from isopoints_tpu.logger import get_logger
+from isopoints_tpu.models.combined import CombinedModel
+from isopoints_tpu.models.levelset import ProjectionConfig, sample_uniform_iso_points
+from isopoints_tpu.ops.images import sample_random_pixels
+from isopoints_tpu.rng import KeyChain
+from isopoints_tpu.training.losses import (
+    eikonal_loss,
+    sdf_freespace_loss,
+    sdf_occupancy_loss,
+)
+from isopoints_tpu.training.scheduler import TrainerScheduler
+from isopoints_tpu.utils import check_weights
+
+
+@dataclass(frozen=True)
+class TrainerConfig:
+    """Loss weights + cadences (trainer.py:148-175 ctor wiring)."""
+    lambda_rgb: float = 1.0
+    lambda_freespace: float = 1.0
+    lambda_occupied: float = 1.0
+    lambda_eikonal: float = 0.01
+    n_eikonal_points: int = 1024
+    warm_up_iters: int = 500
+    resample_every: int = 500
+    n_rays: int = 1024
+    grad_clip: float = 1.0
+    learning_rate: float = 1e-4
+    # loss-weighted iso-point resampling (the reference's `uni_lossS`
+    # hard-example mining: trainer.py:509-590 ref_per_point_metric)
+    saliency_sampling: bool = False
+    n_ref_points: int = 2048
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    points: Optional[jax.Array]       # (1, P, 3) persistent iso-points
+    points_mask: Optional[jax.Array]  # (1, P)
+    it: int
+
+
+def compute_loss(model: CombinedModel, params, points, points_mask,
+                 ndc_pixels, img, mask_img, camera, key, hp: Dict,
+                 project: bool, training: bool = True,
+                 n_eikonal_points: int = 1024):
+    """Loss assembly (trainer.py:413-505). `hp` holds DYNAMIC scalars
+    (lambda_*, sdf_alpha); `project` is static."""
+    k1, k2 = jax.random.split(key)
+    out, new_pts, new_mask = model.forward(
+        params, ndc_pixels, img, mask_img, camera, k1,
+        points=points, points_mask=points_mask, project=project,
+        training=training)
+
+    n_px = float(ndc_pixels.shape[0] * ndc_pixels.shape[1])
+
+    # photoconsistency: L1 summed over valid points, normalized by the
+    # total ray count (trainer.py:472-476, 639-657)
+    rgb_diff = jnp.sum(jnp.abs(out.iso_rgb - out.iso_rgb_gt), axis=-1)
+    loss_rgb = jnp.sum(jnp.where(out.iso_mask, rgb_diff, 0.0)) / n_px
+
+    # freespace / occupancy BCE on -alpha*sdf (trainer.py:604-632)
+    alpha = hp["sdf_alpha"]
+    loss_free = sdf_freespace_loss(out.sdf_freespace, alpha=alpha,
+                                   mask=out.freespace_mask,
+                                   reduction="sum") / n_px
+    loss_occ = sdf_occupancy_loss(out.sdf_occupancy, alpha=alpha,
+                                  mask=out.occupancy_mask,
+                                  reduction="sum") / n_px
+
+    # eikonal on uniform cube points (trainer.py:489-498)
+    u = jax.random.uniform(k2, (1, n_eikonal_points, 3),
+                           minval=-1.0, maxval=1.0)
+    grad = model.normals_from_grad(params, u)
+    loss_eik = eikonal_loss(grad)
+
+    total = (hp["lambda_rgb"] * loss_rgb
+             + hp["lambda_freespace"] * loss_free
+             + hp["lambda_occupied"] * loss_occ
+             + hp["lambda_eikonal"] * loss_eik)
+    metrics = {"loss": total, "loss_rgb": loss_rgb,
+               "loss_freespace": loss_free, "loss_occupied": loss_occ,
+               "loss_eikonal": loss_eik,
+               "n_iso": jnp.sum(out.iso_mask)}
+    # per-point photoconsistency residual for saliency sampling
+    # (trainer.py:509-582 ref_per_point_metric, mode 'loss')
+    aux_saliency = (jax.lax.stop_gradient(out.iso_points),
+                    jax.lax.stop_gradient(rgb_diff), out.iso_mask)
+    return total, (metrics, new_pts, new_mask, aux_saliency)
+
+
+class MVRTrainer:
+    """Host-side orchestration (reference Trainer)."""
+
+    def __init__(self, model: CombinedModel, cfg: TrainerConfig = TrainerConfig(),
+                 scheduler: Optional[TrainerScheduler] = None,
+                 optimizer: Optional[optax.GradientTransformation] = None,
+                 seed: int = 0):
+        self.model = model
+        self.cfg = cfg
+        self.scheduler = scheduler or TrainerScheduler(
+            init_n_rays=cfg.n_rays,
+            init_lambda_rgb=cfg.lambda_rgb,
+            init_lambda_freespace=cfg.lambda_freespace,
+            init_lambda_occupied=cfg.lambda_occupied)
+        self.optimizer = optimizer or optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adam(cfg.learning_rate, b1=0.9, b2=0.99))
+        self.keys = KeyChain(seed)
+        self._step_cache: Dict[Tuple, Any] = {}
+        self.log = get_logger()
+        # saliency reference cloud state (uni_lossS)
+        self._ref_points = None
+        self._ref_mask = None
+        self._ref_stat_mean = None
+        self._ref_stat_n = None
+
+    # ---------------------------------------------------------------
+    def init_state(self, key: Optional[jax.Array] = None) -> TrainState:
+        key = key if key is not None else self.keys.next()
+        params = self.model.init(key)
+        opt_state = self.optimizer.init(params)
+        points, mask = self.model.init_points(self.keys.next())
+        return TrainState(params=params, opt_state=opt_state,
+                          points=points, points_mask=mask, it=0)
+
+    # ---------------------------------------------------------------
+    def _jitted_step(self, project: bool, n_rays: int, image_size: Tuple[int, int]):
+        cache_key = (project, n_rays, image_size)
+        if cache_key in self._step_cache:
+            return self._step_cache[cache_key]
+
+        model, optimizer = self.model, self.optimizer
+
+        @jax.jit
+        def step(params, opt_state, points, points_mask, img, mask_img,
+                 camera, hp, key):
+            k1, k2 = jax.random.split(key)
+            pixels = sample_random_pixels(k1, n_rays, image_size,
+                                          batch_size=img.shape[0])
+            (loss, (metrics, new_pts, new_mask, saliency)), grads = \
+                jax.value_and_grad(
+                    compute_loss, argnums=1, has_aux=True)(
+                        model, params, points, points_mask, pixels, img,
+                        mask_img, camera, k2, hp, project,
+                        n_eikonal_points=self.cfg.n_eikonal_points)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, new_pts, new_mask, metrics, saliency
+
+        self._step_cache[cache_key] = step
+        return step
+
+    def train_step(self, state: TrainState, img: jax.Array, mask_img: jax.Array,
+                   camera: PerspectiveCamera) -> Tuple[TrainState, Dict]:
+        """One optimization step (trainer.py:304-346)."""
+        it = state.it
+        hp_host = self.scheduler.at(it)
+        project = it >= self.cfg.warm_up_iters
+
+        # iso-point cache refresh (trainer.py:319-332 via _query_pcl)
+        points, points_mask = state.points, state.points_mask
+        if project and (it == self.cfg.warm_up_iters or
+                        (it % self.cfg.resample_every == 0)):
+            points, points_mask = self.resample_iso_points(
+                state.params, hp_host["n_points_dss"])
+
+        hp = {k: jnp.asarray(v, jnp.float32) for k, v in hp_host.items()
+              if k in ("lambda_rgb", "lambda_freespace", "lambda_occupied",
+                       "sdf_alpha")}
+        hp["lambda_eikonal"] = jnp.asarray(self.cfg.lambda_eikonal)
+
+        step = self._jitted_step(project, hp_host["n_rays"],
+                                 tuple(img.shape[1:3]))
+        params, opt_state, new_pts, new_mask, metrics, saliency = step(
+            state.params, state.opt_state, points, points_mask,
+            img, mask_img, camera, hp, self.keys.next())
+        if self.cfg.saliency_sampling and project:
+            self.update_ref_metric(*saliency)
+
+        if new_pts is None:
+            new_pts, new_mask = points, points_mask
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               points=new_pts, points_mask=new_mask,
+                               it=it + 1)
+        return new_state, {k: float(v) for k, v in metrics.items()}
+
+    # ---------------------------------------------------------------
+    def update_ref_metric(self, iso_points, rgb_losses, iso_mask) -> None:
+        """Average per-point RGB residuals onto the reference saliency
+        cloud with a running mean (ref_per_point_metric mode 'loss',
+        trainer.py:509-582; RunningStat mathHelper.py:240)."""
+        from isopoints_tpu.ops.neighbors import knn_points as _knn
+
+        if self._ref_points is None:
+            # seed the ref cloud from the first projected iso set (the
+            # reference FPS-downsamples the GT cloud; without one, the
+            # iso set itself is the reference surface sample)
+            from isopoints_tpu.ops.sampling import farthest_point_sampling
+            pts = iso_points[:1]
+            idx, ok = farthest_point_sampling(
+                pts, min(self.cfg.n_ref_points, pts.shape[1]), iso_mask[:1])
+            self._ref_points = jnp.take_along_axis(pts, idx[..., None], axis=1)
+            self._ref_mask = ok
+            self._ref_stat_mean = jnp.zeros(self._ref_points.shape[:2])
+            self._ref_stat_n = jnp.zeros(self._ref_points.shape[:2])
+
+        b = iso_points.shape[0]
+        flat_pts = iso_points.reshape(1, -1, 3)
+        flat_loss = rgb_losses.reshape(1, -1)
+        flat_mask = iso_mask.reshape(1, -1)
+        res = _knn(self._ref_points, flat_pts, self._ref_mask, flat_mask, k=8)
+        from isopoints_tpu.ops.neighbors import knn_gather
+        vals = knn_gather(flat_loss[..., None], res.idx)[..., 0]
+        w = jnp.where(res.mask, 1.0, 0.0)
+        m = jnp.sum(vals * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+        has = jnp.sum(w, axis=-1) > 0
+        # masked Welford running mean
+        n_new = self._ref_stat_n + has
+        delta = jnp.where(has, m - self._ref_stat_mean, 0.0)
+        self._ref_stat_mean = self._ref_stat_mean + delta / jnp.maximum(n_new, 1.0)
+        self._ref_stat_n = n_new
+
+    def resample_iso_points(self, params, n_points: int):
+        """Fresh uniform iso-point set (trainer.py:217-237 _query_pcl →
+        sample_uniform_iso_points); with saliency sampling on, insert
+        children around high-loss reference points
+        (trainer.py:319-332 + levelset insert, SURVEY §3.2)."""
+        f = self.model.sdf_fn(params)
+        res = sample_uniform_iso_points(
+            f, n_points, self.keys.next(),
+            bounding_sphere_radius=self.model.cfg.object_bounding_sphere,
+            cfg=self.model.proj_cfg)
+        if (self.cfg.saliency_sampling and self._ref_points is not None
+                and float(jnp.max(self._ref_stat_n)) > 0):
+            from isopoints_tpu.models.levelset import project_points
+
+            proj = project_points(
+                f, res.points, res.mask, self.model.proj_cfg,
+                skip_resampling=True, skip_upsampling=False,
+                ref_points=self._ref_points,
+                ref_metric=self._ref_stat_mean,
+                ref_mask=self._ref_mask & (self._ref_stat_n > 0))
+            return proj.points, proj.mask
+        return res.points, res.mask
+
+    # ---------------------------------------------------------------
+    def eval_step(self, state: TrainState, img: jax.Array, mask_img: jax.Array,
+                  camera: PerspectiveCamera, n_rays: int = 4096) -> Dict:
+        """Mask IoU + photometric MSE on random rays (trainer.py:267-301)."""
+        from isopoints_tpu.ops.images import sample_image_at_ndc
+
+        k1, k2 = jax.random.split(self.keys.next())
+        pixels = sample_random_pixels(k1, n_rays, img.shape[1:3],
+                                      batch_size=img.shape[0])
+        out, _, _ = self.model.forward(
+            state.params, pixels, img, mask_img, camera, k2,
+            points=state.points, points_mask=state.points_mask,
+            project=False, training=False)
+        gt_mask = sample_image_at_ndc(mask_img, pixels,
+                                      mode="nearest")[..., 0] > 0.5
+        pred = out.network_mask
+        inter = jnp.sum((pred & gt_mask).astype(jnp.float32))
+        union = jnp.sum((pred | gt_mask).astype(jnp.float32))
+        iou = inter / jnp.maximum(union, 1.0)
+        rgb_mse = jnp.sum(jnp.where(out.iso_mask[..., None],
+                                    (out.iso_rgb - out.iso_rgb_gt) ** 2, 0.0))
+        rgb_mse = rgb_mse / jnp.maximum(jnp.sum(out.iso_mask) * 3, 1)
+        psnr = -10.0 * jnp.log10(jnp.maximum(rgb_mse, 1e-10))
+        return {"iou": float(iou), "rgb_mse": float(rgb_mse),
+                "psnr": float(psnr)}
+
+    def check_state(self, state: TrainState) -> bool:
+        return check_weights(state.params)

@@ -1,0 +1,349 @@
+"""Surface reconstruction from a noisy point cloud (DTU workload).
+
+Parity: reference test_dtu_points.py — `Shape` (:35), iso weighting
+kernels `get_iso_bilateral_weights` (:70), `get_laplacian_weights`
+(:95), `get_heat_kernel_weights` (:114), and the `run` loop (:168-457):
+fit a SIREN/IGR SDF to a noisy cloud with warm-up surface losses, then
+periodically extract iso-points (Newton projection from the perturbed
+previous set), add iso SDF/normal losses, reweight the noisy data by
+iso-point bilateral/Laplacian/heat-kernel weights, eikonal on
+surface+space gradients, SAL or exp space losses, SALD off-normal for
+open surfaces; final marching-cubes mesh.
+
+TPU re-design: the whole optimization step (loss + grad + update) is
+one jitted function; iso-point refresh is a second jitted pipeline
+invoked host-side on the resample cadence. Surface batches are random
+gathers from the full device-resident cloud (no host DataLoader).
+"""
+
+import math
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from isopoints_tpu.logger import get_logger
+from isopoints_tpu.models.fields import SDFField, SirenField, sdf_and_grad
+from isopoints_tpu.models.levelset import ProjectionConfig, project_points
+from isopoints_tpu.ops.neighbors import knn_points, knn_gather, radius_search
+from isopoints_tpu.ops.points import denoise_normals_bilateral, resample_uniformly
+from isopoints_tpu.utils import eps_denom, eps_sqrt
+from isopoints_tpu.utils.mathutils import estimate_normals as frame_normals
+from isopoints_tpu.utils.mathutils import local_coord_frames, pinverse
+from isopoints_tpu.utils.meshing import get_surface_high_res_mesh
+
+
+# ---------------------------------------------------------------------------
+# Iso-point data weights (test_dtu_points.py:70-166)
+# ---------------------------------------------------------------------------
+
+def iso_bilateral_weights(points, normals, iso_points, iso_normals,
+                          iso_mask=None, search_radius: float = 0.1):
+    """Spatial (point-to-plane vs nearest iso-point) × normal bilateral
+    weights (test_dtu_points.py:70-93)."""
+    if iso_mask is None:
+        iso_mask = jnp.ones(iso_points.shape[:2], dtype=bool)
+    dim = jnp.max(jnp.where(iso_mask, jnp.linalg.norm(iso_points, axis=-1),
+                            0.0)) * 2.0
+    avg_spacing = iso_points.shape[1] / eps_denom(dim, 1e-12) / 16.0
+    res = radius_search(points, iso_points, search_radius,
+                        points_mask=iso_mask, k=1)
+    nn = knn_gather(iso_points, res.idx)[:, :, 0]
+    unit = lambda v: v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    iso_n = knn_gather(unit(iso_normals), res.idx)[:, :, 0]
+    d_plane = jnp.sum((nn - points) * iso_n, axis=-1) ** 2
+    spatial_w = jnp.exp(-d_plane * avg_spacing)
+    cosd = 1.0 - math.cos(math.radians(60.0))
+    normal_w = jnp.exp(-((1.0 - jnp.sum(unit(normals) * iso_n, axis=-1))
+                         / cosd) ** 2)
+    w = spatial_w * normal_w
+    return jnp.where(res.mask[..., 0], w, 0.0)
+
+
+def laplacian_weights(points, normals, iso_points, iso_normals,
+                      iso_mask=None, search_radius: float = 0.15):
+    """Symmetric point-to-plane distance weights
+    (test_dtu_points.py:95-112)."""
+    if iso_mask is None:
+        iso_mask = jnp.ones(iso_points.shape[:2], dtype=bool)
+    dim = jnp.max(jnp.where(iso_mask, jnp.linalg.norm(iso_points, axis=-1),
+                            0.0)) * 2.0
+    avg_spacing = iso_points.shape[1] / eps_denom(dim, 1e-12) / 16.0
+    res = radius_search(points, iso_points, search_radius,
+                        points_mask=iso_mask, k=1)
+    nn = knn_gather(iso_points, res.idx)[:, :, 0]
+    nn_n = knn_gather(iso_normals, res.idx)[:, :, 0]
+    d = jnp.sum((points - nn) * (normals + nn_n), axis=-1) ** 2
+    w = jnp.exp(-d * avg_spacing)
+    return jnp.where(res.mask[..., 0], w, 0.0)
+
+
+def heat_kernel_weights(points, normals, iso_points, iso_normals,
+                        iso_mask=None, neighborhood_size: int = 8,
+                        sigma_p: float = 0.4, sigma_n: float = 0.7,
+                        search_radius: float = 0.15):
+    """Kernel-regression weights on [p/σp, n/σn] features
+    (test_dtu_points.py:114-166)."""
+    if iso_mask is None:
+        iso_mask = jnp.ones(iso_points.shape[:2], dtype=bool)
+    unit = lambda v: v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-15)
+    res = radius_search(points, iso_points, search_radius,
+                        points_mask=iso_mask, k=neighborhood_size)
+    feats = jnp.concatenate([points / sigma_p, unit(normals) / sigma_n], -1)
+    feats_iso = jnp.concatenate([iso_points / sigma_p,
+                                 unit(iso_normals) / sigma_n], -1)
+    fnb = knn_gather(feats_iso, res.idx)                     # (B,P,K,D)
+    fd = jnp.sum((feats[:, :, None, :] - fnb) ** 2, axis=-1)
+    kern = jnp.where(res.mask, jnp.exp(-fd), 0.0)            # (B,P,K)
+    fd_ij = jnp.sum((fnb[:, :, :, None, :] - fnb[:, :, None, :, :]) ** 2, -1)
+    km = jnp.exp(-fd_ij)
+    km = jnp.where(res.mask[:, :, :, None] & res.mask[:, :, None, :], km, 0.0)
+    km_inv = pinverse(km.reshape(-1, *km.shape[-2:])).reshape(km.shape)
+    w = jnp.einsum("bpk,bpkl,bpl->bp", kern, km_inv, kern)
+    return jnp.clip(w, a_max=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Workload config + loop
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DTUPointsConfig:
+    """Knobs mirroring the test_dtu_points.py CLI (:460-518)."""
+    decoder_type: str = "siren"          # 'siren' (3x256) | 'sdf' (8x512)
+    total_iters: int = 2000
+    batch_size: int = 5000
+    warm_up: int = 200
+    resample_every: int = 500
+    n_iso_points: int = 4000
+    weight_mode: int = 1                 # -1 off, 1 bilateral, 2 laplacian, 3 heat
+    ear: bool = False
+    denoise_normal: bool = True
+    use_sal_loss: bool = True
+    use_off_normal_loss: bool = False
+    lambda_surface_sdf: float = 1.0
+    lambda_surface_normal: float = 0.1
+    lambda_iso_sdf: float = 1e2
+    lambda_iso_normal: float = 10.0
+    lambda_eikonal: float = 1e2
+    lambda_inter_sal: float = 1e2
+    lambda_inter_sdf: float = 1e2
+    learning_rate: float = 1e-4
+    lr_milestones: Tuple[int, ...] = (1000, 1500)
+    lr_gamma: float = 0.5
+    mesh_resolution: int = 128
+
+
+def make_decoder(cfg: DTUPointsConfig):
+    if cfg.decoder_type == "siren":
+        # SIREN 3x256 (test_dtu_points.py:216-226)
+        return SirenField(hidden_size=256, n_layers=3)
+    return SDFField(hidden_size=512, n_layers=8)
+
+
+def fit_point_cloud(points: np.ndarray, normals: Optional[np.ndarray],
+                    cfg: DTUPointsConfig = DTUPointsConfig(),
+                    seed: int = 0, out_dir: Optional[str] = None,
+                    log_every: int = 100):
+    """Run the full DTU point-cloud workload.
+
+    Args:
+      points: (P, 3) noisy input cloud (already normalized to ~unit box;
+        use `normalize` in the entry script).
+      normals: (P, 3) or None (estimated from local frames).
+    Returns (params, decoder, info dict).
+    """
+    log = get_logger()
+    key = jax.random.key(seed)
+    pts = jnp.asarray(points, jnp.float32)[None]
+    p_total = pts.shape[1]
+    mask = jnp.ones((1, p_total), dtype=bool)
+
+    if normals is None:
+        res = knn_points(pts, pts, mask, mask, k=16)
+        nn = knn_gather(pts, res.idx)
+        nrm = frame_normals(pts, nn, res.mask)
+    else:
+        nrm = jnp.asarray(normals, jnp.float32)[None]
+
+    decoder = make_decoder(cfg)
+    key, k_init = jax.random.split(key)
+    params = decoder.init(k_init)
+
+    lr_sched = optax.piecewise_constant_schedule(
+        cfg.learning_rate,
+        {m: cfg.lr_gamma for m in cfg.lr_milestones})
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adam(lr_sched))
+    opt_state = optimizer.init(params)
+
+    proj_cfg = ProjectionConfig(proj_max_iters=10, proj_tolerance=1e-5,
+                                knn_k=16, sample_iters=2 if cfg.ear else 5,
+                                repulsion_mu=0.4, sharpness_angle=20.0)
+
+    # ---- jitted iso-point refresh (Shape.get_iso_points :56-68)
+    @jax.jit
+    def refresh_iso(params, iso_pts, iso_mask, key):
+        f = lambda x: decoder.sdf(params, x)
+        perturbed = iso_pts + 0.1 * (jax.random.uniform(key, iso_pts.shape) - 0.5)
+        res = project_points(f, perturbed, iso_mask, proj_cfg,
+                             skip_resampling=False, skip_upsampling=True,
+                             edge_aware=cfg.ear)
+        # normals from local frames (estimate_pointcloud_normals :344)
+        nn_res = knn_points(res.points, res.points, res.mask, res.mask, k=8)
+        nn = knn_gather(res.points, nn_res.idx)
+        iso_normal = frame_normals(res.points, nn, nn_res.mask)
+        if cfg.denoise_normal:
+            iso_normal = denoise_normals_bilateral(res.points, iso_normal,
+                                                   res.mask)
+        return res.points, res.normals, iso_normal, res.mask
+
+    # ---- jitted training step
+    weight_fns = {1: iso_bilateral_weights, 2: laplacian_weights,
+                  3: heat_kernel_weights}
+
+    @partial(jax.jit, static_argnames=("warm",))
+    def train_step(params, opt_state, iso_pts, iso_g, iso_n, iso_mask,
+                   key, it, warm: bool):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        idx = jax.random.randint(k1, (cfg.batch_size,), 0, p_total)
+        surf = jnp.take(pts[0], idx, axis=0)[None]
+        surf_n = jnp.take(nrm[0], idx, axis=0)[None]
+
+        def loss_fn(params):
+            f = lambda x: decoder.sdf(params, x)
+            surf_sdf, surf_grad = sdf_and_grad(f, surf)
+
+            # space samples: uniform cube ∪ N(surface, 0.1) (:394-397)
+            half = cfg.batch_size // 2
+            sub = surf[:, :half]
+            space = jnp.concatenate([
+                jax.random.uniform(k2, sub.shape, minval=-1.0, maxval=1.0),
+                sub + 0.1 * jax.random.normal(k3, sub.shape)], axis=1)
+            space_sdf, space_grad = sdf_and_grad(f, space)
+
+            lam_s = 1e3 if warm else cfg.lambda_surface_sdf
+            lam_n = 1e2 if warm else cfg.lambda_surface_normal
+
+            losses = {}
+            eik = (jnp.mean((jnp.linalg.norm(surf_grad, axis=-1) - 1.0) ** 2)
+                   + jnp.mean((jnp.linalg.norm(space_grad, axis=-1) - 1.0) ** 2))
+            losses["eikonal"] = eik * cfg.lambda_eikonal
+
+            if warm or cfg.weight_mode == -1:
+                weights = jnp.ones_like(surf_sdf)
+            else:
+                weights = weight_fns[cfg.weight_mode](
+                    surf, surf_n, jax.lax.stop_gradient(iso_pts),
+                    jax.lax.stop_gradient(iso_g), iso_mask)
+                weights = jax.lax.stop_gradient(weights)
+
+            n_surf = float(cfg.batch_size)
+            n_iso = float(iso_pts.shape[1])
+            share = n_surf / (n_surf + n_iso) if not warm else 1.0
+            losses["sdf"] = jnp.mean(weights * jnp.abs(surf_sdf)) * lam_s * share
+            cos = jnp.sum(surf_n * surf_grad, axis=-1) / jnp.maximum(
+                jnp.linalg.norm(surf_n, axis=-1)
+                * jnp.linalg.norm(surf_grad, axis=-1), 1e-12)
+            losses["normals"] = jnp.mean(weights * (1.0 - cos)) * lam_n * share
+
+            if not warm:
+                iso_share = n_iso / (n_iso + 8000.0)
+                sub_idx = jax.random.randint(
+                    k4, (min(cfg.batch_size, iso_pts.shape[1]),), 0,
+                    iso_pts.shape[1])
+                iso_s = jnp.take(iso_pts[0], sub_idx, axis=0)[None]
+                iso_ns = jnp.take(iso_n[0], sub_idx, axis=0)[None]
+                iso_ms = jnp.take(iso_mask[0], sub_idx, axis=0)[None]
+                iso_sdf = f(jax.lax.stop_gradient(iso_s))
+                losses["sdf_iso"] = jnp.sum(
+                    jnp.where(iso_ms, jnp.abs(iso_sdf), 0.0)) / jnp.maximum(
+                        jnp.sum(iso_ms), 1) * cfg.lambda_iso_sdf * iso_share
+                _, iso_gs = sdf_and_grad(f, jax.lax.stop_gradient(iso_s))
+                cos_i = jnp.abs(jnp.sum(iso_ns * iso_gs, axis=-1)) / jnp.maximum(
+                    jnp.linalg.norm(iso_ns, axis=-1)
+                    * jnp.linalg.norm(iso_gs, axis=-1), 1e-12)
+                losses["normal_iso"] = jnp.sum(
+                    jnp.where(iso_ms, 1.0 - cos_i, 0.0)) / jnp.maximum(
+                        jnp.sum(iso_ms), 1) * cfg.lambda_iso_normal * iso_share
+
+            # space loss: SAL knn match or exp repulsion (:414-421)
+            if cfg.use_sal_loss and not warm:
+                dres = knn_points(space, jax.lax.stop_gradient(iso_pts),
+                                  None, iso_mask, k=1)
+                d = dres.dists[..., 0]
+                losses["inter"] = jnp.mean(
+                    (jnp.sqrt(eps_sqrt(d)) - jnp.abs(space_sdf)) ** 2
+                ) * cfg.lambda_inter_sal
+            else:
+                alpha = (it / cfg.total_iters + 1.0) * 100.0
+                losses["inter"] = jnp.mean(
+                    jnp.exp(-alpha * jnp.abs(space_sdf))) * cfg.lambda_inter_sdf
+
+            if cfg.use_off_normal_loss:
+                # SALD off-normal for open surfaces (:425-430)
+                dres = knn_points(space, surf, k=1)
+                knn_n = knn_gather(surf_n, dres.idx)[:, :, 0]
+                dc = -jnp.sum(knn_n * space_grad, axis=-1) / jnp.maximum(
+                    jnp.linalg.norm(knn_n, axis=-1)
+                    * jnp.linalg.norm(space_grad, axis=-1), 1e-12)
+                dc = jnp.maximum(dc, 0.0)
+                losses["sald"] = jnp.mean(
+                    dc * jnp.exp(-2.0 * dres.dists[..., 0])) * 2.0
+
+            total = sum(losses.values())
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, losses
+
+    # ---- host loop
+    key, k_iso = jax.random.split(key)
+    iso_pts = jax.random.uniform(k_iso, (1, cfg.n_iso_points, 3),
+                                 minval=-0.6, maxval=0.6)
+    iso_mask = jnp.ones((1, cfg.n_iso_points), dtype=bool)
+    iso_g = jnp.zeros_like(iso_pts)
+    iso_n = jnp.zeros_like(iso_pts)
+
+    history = []
+    for it in range(cfg.total_iters):
+        warm = it < cfg.warm_up
+        if not warm and (it == cfg.warm_up or
+                         (cfg.resample_every > 0 and
+                          (it - cfg.warm_up) % cfg.resample_every == 0)):
+            key, k = jax.random.split(key)
+            iso_pts, iso_g, iso_n, iso_mask = refresh_iso(
+                params, iso_pts, iso_mask, k)
+            if out_dir is not None:
+                from isopoints_tpu.utils.io import save_ply
+                m = np.asarray(iso_mask[0])
+                save_ply(os.path.join(out_dir, f"{it:010d}_iso.ply"),
+                         np.asarray(iso_pts[0])[m],
+                         normals=np.asarray(iso_g[0])[m])
+
+        key, k = jax.random.split(key)
+        params, opt_state, total, losses = train_step(
+            params, opt_state, iso_pts, iso_g, iso_n, iso_mask, k,
+            jnp.asarray(it, jnp.float32), warm)
+        if it % log_every == 0:
+            vals = {k2: float(v) for k2, v in losses.items()}
+            history.append((it, float(total), vals))
+            log.info("iter %05d loss=%.4f %s", it, float(total),
+                     " ".join(f"{k2}={v:.4g}" for k2, v in vals.items()))
+
+    info = {"history": history, "iso_points": np.asarray(iso_pts),
+            "iso_mask": np.asarray(iso_mask)}
+    if out_dir is not None:
+        verts, faces = get_surface_high_res_mesh(
+            lambda x: decoder.sdf(params, x), resolution=cfg.mesh_resolution)
+        from isopoints_tpu.utils.io import save_ply
+        save_ply(os.path.join(out_dir, "final.ply"), verts, faces=faces)
+        info["mesh"] = (verts, faces)
+    return params, decoder, info

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Multiview-reconstruction training entry.
+
+Parity: reference train_mvr.py — config load, dataset/model/trainer
+assembly, main loop with visualize/checkpoint/validate cadences,
+best-model tracking, `--exit-after` checkpoint-and-exit(3).
+
+Usage: python train_mvr.py configs/synthetic_sphere_iso.yml
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train an iso-points MVR model.")
+    parser.add_argument("config", type=str, help="config yaml path")
+    parser.add_argument("--out-dir", type=str, default=None)
+    parser.add_argument("--max-iters", type=int, default=2000)
+    parser.add_argument("--exit-after", type=int, default=-1,
+                        help="checkpoint and exit(3) after this many seconds")
+    parser.add_argument("--validate-every", type=int, default=500)
+    parser.add_argument("--checkpoint-every", type=int, default=500)
+    parser.add_argument("--visualize-every", type=int, default=-1)
+    parser.add_argument("--print-every", type=int, default=20)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from isopoints_tpu import set_deterministic_seed
+    from isopoints_tpu.config import default_config_path, load_config, save_config
+    from isopoints_tpu.core.camera import PerspectiveCamera
+    from isopoints_tpu.factories import create_dataset, create_model, create_trainer
+    from isopoints_tpu.logger import get_logger
+    from isopoints_tpu.misc.checkpoints import CheckpointIO
+    from isopoints_tpu.training.trainer import TrainState
+
+    log = get_logger()
+    set_deterministic_seed(args.seed)
+    cfg = load_config(args.config, default_config_path())
+    out_dir = args.out_dir or os.path.join(
+        "out", os.path.splitext(os.path.basename(args.config))[0])
+    os.makedirs(out_dir, exist_ok=True)
+    save_config(os.path.join(out_dir, "config.yaml"), cfg)
+
+    data = create_dataset(cfg)
+    if isinstance(data, dict):  # synthetic: in-memory arrays
+        images = data["img.rgb"]
+        masks = data["img.mask"]
+        cam_mats = data["camera_mat"]
+        fl, pp = data["focal_length"], data["principal_point"]
+    else:
+        items = [data[i] for i in range(len(data))]
+        images = np.stack([i["img.rgb"] for i in items])
+        masks = np.stack([i["img.mask"] for i in items])
+        cam_mats = data.camera_mat
+        fl, pp = data.focal_length, data.principal_point
+    n_views = images.shape[0]
+    log.info("dataset: %d views of %s", n_views, images.shape[1:3])
+
+    model = create_model(cfg)
+    trainer = create_trainer(model, cfg, seed=args.seed)
+    state = trainer.init_state()
+
+    ckpt = CheckpointIO(out_dir, model=state.params,
+                        opt=state.opt_state, points=state.points)
+    it0 = 0
+    try:
+        scalars = ckpt.load("model.npz")
+        it0 = int(scalars.get("it", 0))
+        state = TrainState(params=ckpt.registry["model"],
+                           opt_state=ckpt.registry["opt"],
+                           points=ckpt.registry["points"],
+                           points_mask=state.points_mask, it=it0)
+        log.info("resumed from it=%d", it0)
+    except FileNotFoundError:
+        pass
+
+    def save(name, **extra):
+        ckpt.registry.update(model=state.params, opt=state.opt_state,
+                             points=state.points)
+        ckpt.save(name, it=state.it, **extra)
+
+    rng = np.random.RandomState(args.seed)
+    batch_views = 2
+    t_start = time.time()
+    t_last = t_start
+    best_iou = -1.0
+
+    for it in range(it0, args.max_iters):
+        idx = rng.choice(n_views, size=batch_views, replace=False)
+        img = jnp.asarray(images[idx])
+        mask = jnp.asarray(masks[idx])
+        camera = PerspectiveCamera.create(
+            R=np.stack([cam_mats[i][:3, :3] for i in idx]),
+            T=np.stack([cam_mats[i][3, :3] for i in idx]),
+            focal_length=fl, principal_point=pp)
+        state, metrics = trainer.train_step(state, img, mask, camera)
+
+        if it % args.print_every == 0:
+            dt = time.time() - t_last
+            t_last = time.time()
+            log.info("it %05d %s (%.1fs)", it,
+                     " ".join(f"{k}={v:.4g}" for k, v in metrics.items()), dt)
+        if args.checkpoint_every > 0 and it > 0 and it % args.checkpoint_every == 0:
+            save("model.npz")
+        if args.validate_every > 0 and it > 0 and it % args.validate_every == 0:
+            ev = trainer.eval_step(state, img, mask, camera)
+            log.info("eval it %05d %s", it,
+                     " ".join(f"{k}={v:.4g}" for k, v in ev.items()))
+            if ev["iou"] > best_iou:
+                best_iou = ev["iou"]
+                save("model_best.npz", loss_val_best=ev["iou"])
+        if args.visualize_every > 0 and it > 0 and it % args.visualize_every == 0:
+            from isopoints_tpu.utils.meshing import extract_mesh
+            from isopoints_tpu.utils.io import save_ply
+            f = model.sdf_fn(state.params)
+            verts, faces = extract_mesh(lambda x: f(x), resolution=96)
+            save_ply(os.path.join(out_dir, f"{it:06d}_mesh.ply"), verts,
+                     faces=faces)
+        if args.exit_after > 0 and time.time() - t_start > args.exit_after:
+            save("model.npz")
+            log.info("exit-after reached; checkpointed at it=%d", state.it)
+            sys.exit(3)
+
+    save("model.npz")
+    log.info("done: %d iters in %.1fs", args.max_iters - it0,
+             time.time() - t_start)
+
+
+if __name__ == "__main__":
+    main()
