@@ -33,10 +33,15 @@ SPHERE_TRACING_ITERS = 10
 
 def main():
     # IGR SDF with geometric init ≈ an r=0.6 sphere: every ray does real
-    # tracing work (no trivial early exit).
+    # tracing work (no trivial early exit). The fused Pallas MLP keeps
+    # the weight stack in VMEM and streams rays (ops/pallas_mlp.py).
     field = SDFField(hidden_size=256, n_layers=4, num_frequencies=0)
     params = field.init(jax.random.key(0))
-    sdf = lambda x: field.sdf(params, x)
+    if jax.default_backend() == "tpu":
+        from isopoints_tpu.ops.pallas_mlp import make_fused_igr_sdf
+        sdf, _ = make_fused_igr_sdf(field, params)
+    else:
+        sdf = lambda x: field.sdf(params, x)
 
     key = jax.random.key(1)
     cam = jnp.asarray([0.0, 0.0, -2.0])
