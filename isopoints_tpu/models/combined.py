@@ -99,9 +99,10 @@ class CombinedModel(ImplicitModel):
         capacity M = max_iso_per_batch.
         """
         m = self.ccfg.max_iso_per_batch
-        f = self.sdf_fn(params)
+        f = self.trace_sdf_fn(params)
         k1, k2, k3 = jax.random.split(key, 3)
-        normals = self.normals_from_grad(params, points)
+        from isopoints_tpu.models.fields import sdf_and_grad as _sg
+        _, normals = _sg(f, points)
         vis = self.visible_points_mask(params, points, mask, normals, camera) & mask
 
         n_vis = jnp.sum(vis.astype(jnp.int32), axis=-1)    # (1,)
@@ -162,7 +163,7 @@ class CombinedModel(ImplicitModel):
 
         Returns (p_free (B, Nf, 3), free_mask, p_ins (B, N, 3), ins_mask).
         """
-        f = self.sdf_fn(params)
+        f = self.trace_sdf_fn(params)
         b = camera.batch_size
         cam_pos = camera.camera_center()[:, None, :]
         _, dirs = camera.ndc_to_rays(ndc_pixels)
@@ -189,7 +190,8 @@ class CombinedModel(ImplicitModel):
                                     axis=1)
 
         # --- occluded insurface points on in-mask rays
-        normals = jax.lax.stop_gradient(self.normals_from_grad(params, points))
+        from isopoints_tpu.models.fields import sdf_and_grad as _sg
+        normals = jax.lax.stop_gradient(_sg(f, points)[1])
         frontal = self.visible_points_mask(params, points, mask, normals,
                                            camera) & mask
         occluded = self.visible_points_mask(params, points, mask, normals,

@@ -391,7 +391,15 @@ def field_grad(apply_sdf: Callable[[jax.Array], jax.Array]) -> Callable[[jax.Arr
 
 def sdf_and_grad(apply_sdf: Callable[[jax.Array], jax.Array], x: jax.Array
                  ) -> Tuple[jax.Array, jax.Array]:
-    """(sdf, ∇sdf) in one vjp (parity: levelset_sampling.py:142-170)."""
+    """(sdf, ∇sdf) in one vjp (parity: levelset_sampling.py:142-170).
+
+    If `apply_sdf` carries a fused `.sdf_and_grad` implementation
+    (ops/pallas_mlp.py attaches one — forward-mode tangents inside the
+    fused kernel), dispatch to it instead of autodiff.
+    """
+    fused = getattr(apply_sdf, "sdf_and_grad", None)
+    if fused is not None:
+        return fused(x)
     sdf, vjp = jax.vjp(lambda p: apply_sdf(p), x)
     (grad,) = vjp(jnp.ones_like(sdf))
     return sdf, grad

@@ -68,6 +68,10 @@ class ImplicitConfig:
     proj_tolerance: float = 5e-5
     texture_type: str = "lighting"  # 'lighting' | 'neural'
     shininess: float = 64.0
+    # route the no-grad tracing/projection pipelines through the fused
+    # Pallas SDF-MLP kernels (ops/pallas_mlp.py) when the decoder
+    # supports it; loss-path decoder evals keep the plain (θ-diff) field
+    use_fused_mlp: bool = False
 
 
 class ImplicitModel:
@@ -105,6 +109,26 @@ class ImplicitModel:
     def sdf_fn(self, params) -> Callable[[jax.Array], jax.Array]:
         return lambda x: self.decoder.sdf(params["decoder"], x)
 
+    def trace_sdf_fn(self, params) -> Callable[[jax.Array], jax.Array]:
+        """SDF callable for the no-grad tracing/projection pipelines.
+
+        With `use_fused_mlp`, returns the fused Pallas kernel (carries
+        `.sdf_and_grad` with forward-mode input gradients). Safe only
+        where outputs are stop-gradded before the loss — which is every
+        tracing path (the reference wraps them in no_grad,
+        implicit_modeling.py:293, levelset_sampling.py:725).
+        """
+        if self.cfg.use_fused_mlp:
+            from isopoints_tpu.ops.pallas_mlp import make_fused_sdf_fn
+            # cut θ-gradients at the weights: tracing is no-grad by
+            # design, and stop-gradding the closure keeps AD from
+            # linearizing the pallas_call inside while_loops
+            frozen = jax.lax.stop_gradient(params["decoder"])
+            fused = make_fused_sdf_fn(self.decoder, frozen)
+            if fused is not None:
+                return fused
+        return self.sdf_fn(params)
+
     def decode(self, params, x) -> FieldOutput:
         return self.decoder.apply(params["decoder"], x)
 
@@ -135,7 +159,7 @@ class ImplicitModel:
         """DVR-style intersection: cube interval → bidirectional sphere
         tracing → secant merge → grazing-angle filter → (train)
         directional sampling (implicit_modeling.py:279-343)."""
-        f = self.sdf_fn(params)
+        f = self.trace_sdf_fn(params)
         cam_pos = camera.camera_center()[:, None, :]
         _, dirs = camera.ndc_to_rays(ndc_pixels)
         entry, exit_, hit = intersection_with_unit_cube(
@@ -162,7 +186,9 @@ class ImplicitModel:
         mask_pred = mask_pred & (jnp.sum(gn * dirs, axis=-1) < -1e-2)
 
         if training:
-            p_world = directional_sample_network(f, p_world, dirs, cam_pos)
+            # θ-differentiable re-attachment needs the plain field
+            p_world = directional_sample_network(
+                self.sdf_fn(params), p_world, dirs, cam_pos)
         return p_world, mask_pred
 
     def sample_from_pixels(self, params, ndc_pixels: jax.Array,
@@ -173,7 +199,7 @@ class ImplicitModel:
         Returns (iso_points, mask_pred, free_mask, occ_mask, points):
         every ray yields a point; masks classify it.
         """
-        f = self.sdf_fn(params)
+        f = self.trace_sdf_fn(params)
         cam_pos = camera.camera_center()[:, None, :]
         _, dirs = camera.ndc_to_rays(ndc_pixels)
         res = ray_trace(f, cam_pos, dirs, mask_gt, key,
@@ -181,7 +207,8 @@ class ImplicitModel:
         iso_points = res.points
         if training:
             iso_points = directional_sample_network(
-                f, jax.lax.stop_gradient(res.points), dirs, cam_pos)
+                self.sdf_fn(params), jax.lax.stop_gradient(res.points),
+                dirs, cam_pos)
         free_mask = ~mask_gt
         occ_mask = (~res.network_object_mask) & mask_gt
         return iso_points, res.network_object_mask, free_mask, occ_mask, res.points
@@ -192,7 +219,7 @@ class ImplicitModel:
         """Min-SDF candidate per ray between cube intersections
         (implicit_modeling.py:343-420). Returns
         (points, free_mask, occ_mask)."""
-        f = self.sdf_fn(params)
+        f = self.trace_sdf_fn(params)
         cam_pos = camera.camera_center()[:, None, :]
         _, dirs = camera.ndc_to_rays(ndc_pixels)
         entry, exit_, hit = intersection_with_unit_cube(

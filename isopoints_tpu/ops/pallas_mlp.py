@@ -86,7 +86,7 @@ def _siren_kernel(n_layers: int, first_omega: float, hidden_omega: float,
 
 
 def make_fused_siren_sdf(field: SirenField, params: Dict,
-                         interpret: bool = False
+                         interpret: Optional[bool] = None
                          ) -> Tuple[Callable, Callable]:
     """Build fused (sdf_fn, sdf_and_grad_fn) for a SIREN field.
 
@@ -96,6 +96,8 @@ def make_fused_siren_sdf(field: SirenField, params: Dict,
     Both jit-compatible; weights are closed over as constants of the
     pallas_call (donated to VMEM by the pipeline).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     layers = params["layers"]
     n_hidden = field.n_layers
     assert field.out_dim == 1, "fused path supports sdf-only heads"
@@ -144,7 +146,27 @@ def make_fused_siren_sdf(field: SirenField, params: Dict,
         v, g = run(x.reshape(-1, 3), with_grad=True)
         return v.reshape(shp), g.reshape(*shp, 3)
 
+    # let fields.sdf_and_grad dispatch to the fused gradient path
+    sdf.sdf_and_grad = sdf_and_grad
     return sdf, sdf_and_grad
+
+
+def make_fused_sdf_fn(field, params,
+                      interpret: Optional[bool] = None) -> Optional[Callable]:
+    """Fused callable for a supported field, or None.
+
+    Supported: SirenField with a pure-sdf head; SDFField with
+    num_frequencies=0. The returned callable carries `.sdf_and_grad`.
+    """
+    try:
+        if isinstance(field, SirenField) and field.out_dim == 1:
+            return make_fused_siren_sdf(field, params, interpret)[0]
+        if isinstance(field, SDFField) and field.num_frequencies <= 0 \
+                and field.out_dim == 1:
+            return make_fused_igr_sdf(field, params, interpret)[0]
+    except AssertionError:
+        return None
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -219,11 +241,14 @@ def _igr_kernel(n_layers: int, skip_in: Tuple[int, ...], final_tanh: bool,
 
 
 def make_fused_igr_sdf(field: SDFField, params: Dict,
-                       interpret: bool = False) -> Tuple[Callable, Callable]:
+                       interpret: Optional[bool] = None
+                       ) -> Tuple[Callable, Callable]:
     """Fused (sdf, sdf_and_grad) for an IGR SDFField.
 
     Requires num_frequencies=0 (raw xyz input); weight-norm is folded
     into plain weights host-side (w = g·v/|v|_row)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     assert field.num_frequencies <= 0, \
         "fused IGR path requires num_frequencies=0"
     assert field.out_dim == 1
@@ -278,4 +303,5 @@ def make_fused_igr_sdf(field: SDFField, params: Dict,
         v, g = run(x.reshape(-1, 3), with_grad=True)
         return v.reshape(shp), g.reshape(*shp, 3)
 
+    sdf.sdf_and_grad = sdf_and_grad
     return sdf, sdf_and_grad

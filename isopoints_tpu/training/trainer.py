@@ -252,7 +252,7 @@ class MVRTrainer:
         sample_uniform_iso_points); with saliency sampling on, insert
         children around high-loss reference points
         (trainer.py:319-332 + levelset insert, SURVEY §3.2)."""
-        f = self.model.sdf_fn(params)
+        f = self.model.trace_sdf_fn(params)
         res = sample_uniform_iso_points(
             f, n_points, self.keys.next(),
             bounding_sphere_radius=self.model.cfg.object_bounding_sphere,

@@ -70,6 +70,20 @@ def marching_tetrahedra(values: np.ndarray, origin=(0.0, 0.0, 0.0),
     if min(nx, ny, nz) < 2:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
 
+    # native C++ fast path (csrc/marching_tet.cpp); same decomposition
+    # and dedup, post-processed identically
+    from isopoints_tpu.ops.native import marching_tetrahedra_native
+    native = marching_tetrahedra_native(values, origin, spacing, level)
+    if native is not None:
+        verts_w, faces = native
+        if len(verts_w) == 0:
+            return verts_w, faces
+        verts_grid = (verts_w.astype(np.float64) - np.asarray(origin)[None]) \
+            / np.asarray(spacing)[None]
+        faces = _drop_degenerate(faces)
+        faces = _orient_faces(verts_grid, faces, v)
+        return verts_w.astype(np.float32), faces
+
     # global vertex index helper (x-major consistent with meshgrid ij)
     def gidx(ix, iy, iz):
         return (ix * ny + iy) * nz + iz
@@ -136,13 +150,27 @@ def marching_tetrahedra(values: np.ndarray, origin=(0.0, 0.0, 0.0),
     pa, pb = coords(ua), coords(ub)
     verts_grid = pa + t[:, None] * (pb - pa)
     faces = inv.reshape(-1, 3)
-    # drop degenerate faces (two corners on the same global edge)
+    faces = _drop_degenerate(faces)
+    faces = _orient_faces(verts_grid, faces, v)
+
+    verts = verts_grid * np.asarray(spacing)[None] + np.asarray(origin)[None]
+    return verts.astype(np.float32), faces
+
+
+def _drop_degenerate(faces: np.ndarray) -> np.ndarray:
+    """Drop faces with two corners on the same dedup'd edge vertex."""
     ok = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & \
          (faces[:, 0] != faces[:, 2])
-    faces = faces[ok]
+    return faces[ok]
 
-    # consistent winding: normals face the positive side of the field
-    # (the 6-tet decomposition mixes tet parities, so orient by ∇v)
+
+def _orient_faces(verts_grid: np.ndarray, faces: np.ndarray,
+                  v: np.ndarray) -> np.ndarray:
+    """Consistent winding: normals face the positive side of the field
+    (the 6-tet decomposition mixes tet parities, so orient by ∇v)."""
+    if len(faces) == 0:
+        return faces
+    nx, ny, nz = v.shape
     gvx, gvy, gvz = np.gradient(v)
     cent = verts_grid[faces].mean(axis=1)
     ci = np.clip(np.round(cent).astype(np.int64), 0,
@@ -153,10 +181,9 @@ def marching_tetrahedra(values: np.ndarray, origin=(0.0, 0.0, 0.0),
     fv = verts_grid[faces]
     nrm = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
     flip = np.einsum("ij,ij->i", nrm, gradc) < 0
+    faces = faces.copy()
     faces[flip] = faces[flip][:, ::-1]
-
-    verts = verts_grid * np.asarray(spacing)[None] + np.asarray(origin)[None]
-    return verts.astype(np.float32), faces
+    return faces
 
 
 def eval_sdf_grid(sdf_fn: Callable, resolution: int, bbox_min, bbox_max,

@@ -135,3 +135,33 @@ def test_projection_repulsion_losses(rng):
     v, g = jax.value_and_grad(rloss)(jnp.asarray(pts))
     assert bool(jnp.isfinite(g).all())
     assert float(v) < 0  # negative of distances (maximized)
+
+
+class TestNativeMarchingTets:
+    def test_native_matches_numpy(self):
+        """C++ extraction must match the numpy path to float roundoff
+        (same decomposition, dedup, and postprocessing)."""
+        import isopoints_tpu.ops.native as natmod
+        from isopoints_tpu.ops.native import get_native_lib
+
+        if get_native_lib() is None:
+            import pytest
+            pytest.skip("no native toolchain")
+        n = 32
+        g = np.linspace(-1, 1, n)
+        X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+        vals = np.sqrt(X ** 2 + Y ** 2 + Z ** 2) - 0.5
+        origin = (-1.0, -1.0, -1.0)
+        sp = (2 / (n - 1),) * 3
+        v_native, f_native = marching_tetrahedra(vals, origin, sp, 0.0)
+        orig = natmod.marching_tetrahedra_native
+        natmod.marching_tetrahedra_native = lambda *a, **k: None
+        try:
+            v_np, f_np = marching_tetrahedra(vals, origin, sp, 0.0)
+        finally:
+            natmod.marching_tetrahedra_native = orig
+        assert len(v_native) == len(v_np)
+        assert len(f_native) == len(f_np)
+        iN = np.lexsort(v_native.T)
+        ip = np.lexsort(v_np.T)
+        np.testing.assert_allclose(v_native[iN], v_np[ip], atol=1e-5)

@@ -72,3 +72,54 @@ class TestFusedIGR:
         params = field.init(jax.random.key(0))
         with pytest.raises(AssertionError):
             make_fused_igr_sdf(field, params, interpret=True)
+
+
+class TestFusedModelPath:
+    def test_fused_forward_matches_plain(self):
+        """Implicit forward with use_fused_mlp must match the plain path
+        (interpret-mode kernels on CPU)."""
+        from isopoints_tpu.core.camera import PerspectiveCamera, look_at_view_transform
+        from isopoints_tpu.models.implicit import ImplicitConfig, ImplicitModel
+        from isopoints_tpu.ops.images import arange_pixels
+
+        field = SirenField(hidden_size=64, n_layers=2)
+        m_plain = ImplicitModel(field, cfg=ImplicitConfig(proj_max_iters=10))
+        m_fused = ImplicitModel(field, cfg=ImplicitConfig(proj_max_iters=10,
+                                                          use_fused_mlp=True))
+        params = m_plain.init(jax.random.key(0))
+        R, T = look_at_view_transform([2.0], [0.0], [0.0])
+        cam = PerspectiveCamera.create(R=R, T=T, focal_length=2.0)
+        img = jnp.ones((1, 16, 16, 3)) * 0.5
+        mask = jnp.ones((1, 16, 16, 1))
+        _, ndc = arange_pixels((8, 8), 1)
+        out_p = m_plain.forward(params, ndc, img, mask, cam, jax.random.key(1))
+        out_f = m_fused.forward(params, ndc, img, mask, cam, jax.random.key(1))
+        np.testing.assert_allclose(np.asarray(out_p.iso_points),
+                                   np.asarray(out_f.iso_points), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(out_p.network_mask),
+                                      np.asarray(out_f.network_mask))
+
+    def test_fused_grad_to_params_still_flows(self):
+        """θ-gradients must flow via the plain-field loss evals even
+        when tracing uses the fused kernel."""
+        from isopoints_tpu.core.camera import PerspectiveCamera, look_at_view_transform
+        from isopoints_tpu.models.implicit import ImplicitConfig, ImplicitModel
+        from isopoints_tpu.ops.images import arange_pixels
+
+        field = SirenField(hidden_size=32, n_layers=1)
+        model = ImplicitModel(field, cfg=ImplicitConfig(proj_max_iters=5,
+                                                        use_fused_mlp=True))
+        params = model.init(jax.random.key(0))
+        R, T = look_at_view_transform([2.0], [0.0], [0.0])
+        cam = PerspectiveCamera.create(R=R, T=T, focal_length=2.0)
+        img = jnp.ones((1, 16, 16, 3)) * 0.5
+        mask = jnp.ones((1, 16, 16, 1))
+        _, ndc = arange_pixels((8, 8), 1)
+
+        def loss(params):
+            out = model.forward(params, ndc, img, mask, cam, jax.random.key(1))
+            return (jnp.sum(jnp.abs(out.sdf_freespace))
+                    + jnp.sum(out.iso_points ** 2))
+
+        g = jax.grad(loss)(params)
+        assert any(bool(jnp.any(l != 0)) for l in jax.tree.leaves(g))
