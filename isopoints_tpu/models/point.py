@@ -121,3 +121,18 @@ class PointModel:
         (point_modeling.py:112-131). Returns the updated mask."""
         dead = jnp.all(grad_points == 0.0, axis=-1)
         return activation_mask & ~dead
+
+    def generate_mesh(self, params, resolution: int = 128,
+                      activation_mask: Optional[jax.Array] = None):
+        """Mesh the learned cloud (point-model Generator parity,
+        point_modeling.py:257-288 — pymeshlab Poisson replaced by IMLS
+        + marching tetrahedra, ops/imls.py)."""
+        import numpy as np
+
+        from isopoints_tpu.ops.imls import pointcloud_to_mesh
+
+        pc = self.cloud(params, activation_mask)
+        m = np.asarray(pc.mask[0])
+        return pointcloud_to_mesh(np.asarray(pc.points[0])[m],
+                                  np.asarray(pc.normals[0])[m],
+                                  resolution=resolution)

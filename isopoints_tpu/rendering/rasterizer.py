@@ -70,6 +70,9 @@ class RasterizationSettings:
     tile_size: int = 16
     max_points_per_tile: int = 256
     knn_k: int = 7
+    # run the fine stage as a Pallas kernel (rendering/pallas_splat.py):
+    # K masked-min sweeps in VMEM instead of per-pixel top_k sorts
+    use_pallas: bool = False
 
 
 class Fragments(NamedTuple):
@@ -251,6 +254,10 @@ def _rasterize_one(pts, ellipse, radii, cutoff, valid,
 
     tile_centers_x = 0.5 * (xs[::T] + xs[T - 1::T])           # (nt,)
 
+    if s.use_pallas:
+        return _rasterize_one_pallas(pts, ellipse, radii, cutoff, valid,
+                                     xs, half, tile_centers_x, s, M)
+
     def row_fn(ti):
         rows = ti * T + jnp.arange(T)
         ys = _pixel_ndc(rows, S)                              # (T,)
@@ -297,6 +304,50 @@ def _rasterize_one(pts, ellipse, radii, cutoff, valid,
     idx, zbuf, qv, occ = jax.lax.map(row_fn, jnp.arange(nt))
     return (idx.reshape(S, S, K), zbuf.reshape(S, S, K),
             qv.reshape(S, S, K), occ.reshape(S, S))
+
+
+def _rasterize_one_pallas(pts, ellipse, radii, cutoff, valid, xs, half,
+                          tile_centers_x, s: RasterizationSettings, M: int):
+    """Coarse stage in XLA (per-tile candidate top_k) + fine stage as a
+    Pallas kernel (pallas_splat.rasterize_fine_pallas)."""
+    from isopoints_tpu.rendering.pallas_splat import rasterize_fine_pallas
+
+    S, T, K = s.image_size, s.tile_size, s.points_per_pixel
+    nt = S // T
+    px, py, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    rx, ry = radii[:, 0], radii[:, 1]
+
+    def row_candidates(ti):
+        rows = ti * T + jnp.arange(T)
+        ys = _pixel_ndc(rows, S)
+        cy = 0.5 * (ys[0] + ys[-1])
+        return _tile_candidates(px, py, z, rx, ry, valid, cy,
+                                tile_centers_x, half, M)
+
+    cand_idx, cand_ok = jax.lax.map(row_candidates, jnp.arange(nt))
+    cand_idx = cand_idx.reshape(nt * nt, M)
+    cand_ok = cand_ok.reshape(nt * nt, M)
+
+    g = lambda v: v[cand_idx]
+    idx_l, zbuf, qv, occ = rasterize_fine_pallas(
+        g(px), g(py), g(z), g(ellipse[:, 0]), g(ellipse[:, 1]),
+        g(ellipse[:, 2]), g(rx), g(ry), g(cutoff), cand_ok,
+        T=T, K=K, S=S, nt=nt,
+        depth_merging_threshold=s.depth_merging_threshold,
+        interpret=jax.default_backend() != "tpu")
+
+    # local candidate slot -> global point index
+    idx = jnp.where(idx_l >= 0,
+                    jnp.take_along_axis(
+                        jnp.broadcast_to(cand_idx[:, None, :],
+                                         (nt * nt, T * T, M)),
+                        jnp.maximum(idx_l, 0), axis=-1), -1)
+
+    def untile(a, ch):
+        return a.reshape(nt, nt, T, T, ch).transpose(0, 2, 1, 3, 4) \
+            .reshape(S, S, ch)
+    return (untile(idx, K), untile(zbuf, K), untile(qv, K),
+            untile(occ[..., None], 1)[..., 0])
 
 
 def _occ_backward_one(pts, radii, visible, grad_occ,

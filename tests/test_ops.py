@@ -185,3 +185,31 @@ def test_resample_uniformly_count_preserved(rng):
     assert out.shape == (1, 128, 3)
     assert int(num_valid(mask)[0]) == 128
     assert bool(jnp.isfinite(out).all())
+
+
+class TestIMLS:
+    def test_sdf_sign_and_zero(self):
+        from isopoints_tpu.ops.imls import imls_sdf
+        key = jax.random.key(0)
+        d = jax.random.normal(key, (1, 1024, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        pts = 0.5 * d
+        # on-surface queries ~ 0; inside negative; outside positive
+        q = jnp.concatenate([pts[:, :64],
+                             0.3 * d[:, 64:128],
+                             0.8 * d[:, 128:192]], axis=1)
+        s = np.asarray(imls_sdf(q, pts, d))
+        np.testing.assert_allclose(s[0, :64], 0.0, atol=5e-3)
+        assert (s[0, 64:128] < -0.05).all()
+        assert (s[0, 128:192] > 0.05).all()
+
+    def test_pointcloud_to_mesh(self):
+        from isopoints_tpu.ops.imls import pointcloud_to_mesh
+        key = jax.random.key(1)
+        d = jax.random.normal(key, (4096, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        pts = np.asarray(0.5 * d)
+        verts, faces = pointcloud_to_mesh(pts, np.asarray(d), resolution=48)
+        assert len(verts) > 100 and len(faces) > 100
+        r = np.linalg.norm(verts, axis=-1)
+        np.testing.assert_allclose(r.mean(), 0.5, atol=0.03)

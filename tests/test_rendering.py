@@ -246,3 +246,51 @@ class TestLighting:
         out = norm_weighted_sum_composite(idx, w, feats)
         np.testing.assert_allclose(np.asarray(out[0, 0, 0]), [0.5, 0.5, 0.0],
                                    atol=1e-6)
+
+
+class TestPallasFineStage:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_pallas_matches_xla(self, seed):
+        """Pallas fine stage (interpret mode on CPU) must agree with the
+        XLA tiled path bit-for-bit on idx/occupancy and to roundoff on
+        zbuf/qvalue."""
+        cloud = sphere_cloud(256, key=seed)
+        cam = camera_at()
+        S, K = 32, 5
+        base = dict(image_size=S, points_per_pixel=K, tile_size=8,
+                    max_points_per_tile=128)
+        s_xla = RasterizationSettings(**base)
+        s_pal = RasterizationSettings(use_pallas=True, **base)
+        p = compute_splat_params(cloud.points, cloud.normals, cloud.mask,
+                                 cam, s_xla)
+        f_x = rasterize_splats(p.pts_ndc, p.ellipse, p.radii, p.cutoff,
+                               p.mask, s_xla)
+        f_p = rasterize_splats(p.pts_ndc, p.ellipse, p.radii, p.cutoff,
+                               p.mask, s_pal)
+        np.testing.assert_array_equal(np.asarray(f_x.occupancy),
+                                      np.asarray(f_p.occupancy))
+        np.testing.assert_array_equal(np.asarray(f_x.idx), np.asarray(f_p.idx))
+        np.testing.assert_allclose(np.asarray(f_x.zbuf),
+                                   np.asarray(f_p.zbuf), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_x.qvalue),
+                                   np.asarray(f_p.qvalue), atol=1e-5)
+
+    def test_pallas_backward_matches(self):
+        cloud = sphere_cloud(128)
+        cam = camera_at()
+        base = dict(image_size=32, tile_size=8, max_points_per_tile=128)
+        s_xla = RasterizationSettings(**base)
+        s_pal = RasterizationSettings(use_pallas=True, **base)
+        p = compute_splat_params(cloud.points, cloud.normals, cloud.mask,
+                                 cam, s_xla)
+        target = jnp.zeros((1, 32, 32)).at[:, :16].set(1.0)
+
+        def loss(pts_ndc, st):
+            f = rasterize_splats(pts_ndc, p.ellipse, p.radii, p.cutoff,
+                                 p.mask, st)
+            return jnp.sum((f.occupancy - target) ** 2)
+
+        g_x = jax.grad(loss)(p.pts_ndc, s_xla)
+        g_p = jax.grad(loss)(p.pts_ndc, s_pal)
+        np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_p),
+                                   atol=1e-6)
