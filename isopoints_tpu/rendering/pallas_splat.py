@@ -14,6 +14,16 @@ warp-divergent insertion sort).
 The coarse stage (per-tile front-most candidate selection) stays in
 XLA — a single batched `top_k`, the analogue of the reference building
 bin lists outside the fine kernel.
+
+MEASURED (TPU v5e, S=128, M=256, K=5, 4096 splats): the XLA tiled path
+runs at 0.2 ms/frame vs 30 ms for this kernel — XLA's fused
+top_k-over-candidates is already at speed-of-light for this op (the
+K argmin sweeps here are cross-lane VPU reductions and the tile grid
+serializes). The kernel is kept as a validated alternative
+(`RasterizationSettings.use_pallas`, default OFF) and as the substrate
+for future fusion of the per-point EWA setup into the same pass;
+agreement with the XLA path is covered by tests on CPU (interpret) and
+was confirmed bit-exact on TPU hardware.
 """
 
 from functools import partial
@@ -71,7 +81,9 @@ def _fine_kernel(T: int, M: int, K: int, S: int, nt: int,
                 z0 = zmin
             # depth-merging cut (rasterize_points.cu:201-210)
             keep = hit & ((zmin - z0) <= depth_merging_threshold)
-            sel_q = jnp.take_along_axis(q, amin[:, None], axis=1)[:, 0]
+            # one-hot select (Mosaic has no general gather on TPU)
+            onehot = cand_ids == amin[:, None]
+            sel_q = jnp.sum(jnp.where(onehot, q, 0.0), axis=1)
             idx_ref[0, :, k] = jnp.where(keep, amin, -1)
             zbuf_ref[0, :, k] = jnp.where(keep, zmin, -1.0)
             qv_ref[0, :, k] = jnp.where(keep, sel_q, -1.0)
