@@ -267,8 +267,18 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
     def eval_at(t):
         return sdf_fn(cam_loc + t[..., None] * ray_dirs)
 
-    sdf_start0 = jnp.where(mask_intersect, eval_at(t_near), 0.0)
-    sdf_end0 = jnp.where(mask_intersect, eval_at(t_far), 0.0)
+    def eval_pair(ts, te):
+        # both fronts in ONE batched eval: halves kernel launches in
+        # the hot loop (matters with the fused Pallas MLP)
+        both = sdf_fn(jnp.concatenate(
+            [cam_loc + ts[..., None] * ray_dirs,
+             cam_loc + te[..., None] * ray_dirs], axis=-2))
+        n = ts.shape[-1]
+        return both[..., :n], both[..., n:]
+
+    sdf_start0, sdf_end0 = eval_pair(t_near, t_far)
+    sdf_start0 = jnp.where(mask_intersect, sdf_start0, 0.0)
+    sdf_end0 = jnp.where(mask_intersect, sdf_end0, 0.0)
 
     def cond(state):
         _, _, _, _, un_s, un_e, it = state
@@ -280,8 +290,7 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
         cur_e = jnp.where(un_e & (sdf_e > thr), sdf_e, 0.0)
         acc_s = acc_s + cur_s
         acc_e = acc_e - cur_e
-        new_s = eval_at(acc_s)
-        new_e = eval_at(acc_e)
+        new_s, new_e = eval_pair(acc_s, acc_e)
 
         # line-search backstep where the front crossed inside (sdf < 0)
         def back_step(carry, i):
@@ -291,8 +300,9 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
             be = un_e & (new_e < 0)
             acc_s = jnp.where(bs, acc_s - scale * cur_s, acc_s)
             acc_e = jnp.where(be, acc_e + scale * cur_e, acc_e)
-            new_s = jnp.where(bs, eval_at(acc_s), new_s)
-            new_e = jnp.where(be, eval_at(acc_e), new_e)
+            ev_s, ev_e = eval_pair(acc_s, acc_e)
+            new_s = jnp.where(bs, ev_s, new_s)
+            new_e = jnp.where(be, ev_e, new_e)
             return (acc_s, acc_e, new_s, new_e), None
 
         (acc_s, acc_e, new_s, new_e), _ = jax.lax.scan(

@@ -45,12 +45,16 @@ def chamfer_distance(x: jax.Array, y: jax.Array,
 
 
 def point_face_distance(points: np.ndarray, verts: np.ndarray,
-                        faces: np.ndarray, chunk: int = 4096) -> float:
+                        faces: np.ndarray, chunk: int = 4096,
+                        max_pairs: int = 50_000_000) -> float:
     """Mean squared distance from points to the closest mesh triangle.
 
     Exact point-triangle distance, vectorized over (chunk × F) pairs
     (pytorch3d point_mesh_face_distance parity, evaluation.py:119-127).
+    The point chunk adapts to the face count so the pair matrix stays
+    bounded (large meshes would otherwise materialize GBs).
     """
+    chunk = max(1, min(chunk, max_pairs // max(len(faces), 1)))
     tri = jnp.asarray(verts)[jnp.asarray(faces)]       # (F, 3, 3)
     a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
 

@@ -96,7 +96,7 @@ def sal_space_loss(sdf: jax.Array, dist_to_cloud: jax.Array, mask=None,
                    reduction="mean"):
     """SAL unsigned-distance match: (√d_nn − |f|)²
     (test_dtu_points.py:414-418)."""
-    return reduce_loss((eps_sqrt(dist_to_cloud) - jnp.abs(sdf)) ** 2,
+    return reduce_loss((jnp.sqrt(eps_sqrt(dist_to_cloud)) - jnp.abs(sdf)) ** 2,
                        mask, reduction)
 
 

@@ -28,8 +28,10 @@ def eps_denom(x: jax.Array, eps: float = 1e-17) -> jax.Array:
 
 
 def eps_sqrt(x: jax.Array, eps: float = 1e-17) -> jax.Array:
-    """sqrt clamped away from 0 so grad is finite (mathHelper.py:20-25)."""
-    return jnp.sqrt(jnp.maximum(x, eps))
+    """Prepare a squared quantity for sqrt: |x| clamped to ≥ eps
+    (mathHelper.py:20-25 — the reference clamps only; the CALLER takes
+    the sqrt, so `jnp.sqrt(eps_sqrt(x))` is the idiom)."""
+    return jnp.maximum(jnp.abs(x), eps)
 
 
 def valid_value_mask(x: jax.Array) -> jax.Array:

@@ -149,7 +149,8 @@ def make_decoder(cfg: DTUPointsConfig):
 def fit_point_cloud(points: np.ndarray, normals: Optional[np.ndarray],
                     cfg: DTUPointsConfig = DTUPointsConfig(),
                     seed: int = 0, out_dir: Optional[str] = None,
-                    log_every: int = 100):
+                    log_every: int = 100,
+                    denormalize: Optional[Tuple[np.ndarray, float]] = None):
     """Run the full DTU point-cloud workload.
 
     Args:
@@ -306,8 +307,13 @@ def fit_point_cloud(points: np.ndarray, normals: Optional[np.ndarray],
 
     # ---- host loop
     key, k_iso = jax.random.split(key)
-    iso_pts = jax.random.uniform(k_iso, (1, cfg.n_iso_points, 3),
-                                 minval=-0.6, maxval=0.6)
+    # seed iso-points from the input cloud (reference Shape.__init__
+    # resamples the input, test_dtu_points.py:50-54): the first
+    # projection then finds the data-supported sheet, not spurious
+    # far-field zero crossings
+    sel = jax.random.choice(k_iso, p_total, (cfg.n_iso_points,),
+                            replace=cfg.n_iso_points > p_total)
+    iso_pts = jnp.take(pts[0], sel, axis=0)[None]
     iso_mask = jnp.ones((1, cfg.n_iso_points), dtype=bool)
     iso_g = jnp.zeros_like(iso_pts)
     iso_n = jnp.zeros_like(iso_pts)
@@ -343,6 +349,11 @@ def fit_point_cloud(points: np.ndarray, normals: Optional[np.ndarray],
     if out_dir is not None:
         verts, faces = get_surface_high_res_mesh(
             lambda x: decoder.sdf(params, x), resolution=cfg.mesh_resolution)
+        if denormalize is not None and len(verts):
+            # undo normalize_to_box, like the reference's scale_mat_inv
+            # at export (test_dtu_points.py:291)
+            center, scale = denormalize
+            verts = verts * float(scale) + np.asarray(center).reshape(1, 3)
         from isopoints_tpu.utils.io import save_ply
         save_ply(os.path.join(out_dir, "final.ply"), verts, faces=faces)
         info["mesh"] = (verts, faces)

@@ -106,7 +106,9 @@ def main():
         use_off_normal_loss=args.use_off_normal_loss,
         mesh_resolution=args.mesh_resolution)
     params, decoder, info = fit_point_cloud(
-        pts_n, normals, cfg, seed=args.seed, out_dir=args.out_dir)
+        pts_n, normals, cfg, seed=args.seed, out_dir=args.out_dir,
+        denormalize=(np.asarray(center).ravel(),
+                     float(np.asarray(scale).ravel()[0])))
     log.info("finished; outputs in %s", args.out_dir)
 
 
