@@ -62,11 +62,9 @@ def render_view(sdf_fn: Callable, camera: PerspectiveCamera,
     normals = grads / jnp.maximum(
         jnp.linalg.norm(grads, axis=-1, keepdims=True), 1e-12)
     if lights is None:
-        lights = DirectionalLights.create(
-            ambient_color=[[0.4, 0.4, 0.4]],
-            diffuse_color=[[0.6, 0.6, 0.6]],
-            specular_color=[[0.2, 0.2, 0.2]],
-            direction=[[1.0, 1.0, -1.0]])
+        # default rig == DirectionalLights.create() defaults, so a model
+        # trained with default lighting can actually match the GT shading
+        lights = DirectionalLights.create()
     rgb_pts = lighting_texture(res.points, normals, lights,
                                camera.camera_center(),
                                jnp.broadcast_to(jnp.asarray(base_color),

@@ -90,7 +90,8 @@ class CombinedModel(ImplicitModel):
         return jnp.any(vis, axis=0, keepdims=True)         # (1, P)
 
     def get_visible_iso_points(self, params, points, mask,
-                               camera: PerspectiveCamera, key: jax.Array
+                               camera: PerspectiveCamera, key: jax.Array,
+                               normals=None, vis=None
                                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Visibility-filter → cap/upsample to max_iso_per_batch →
         random 0.05 offset → project (combined_modeling.py:390-478).
@@ -100,18 +101,22 @@ class CombinedModel(ImplicitModel):
         """
         m = self.ccfg.max_iso_per_batch
         f = self.trace_sdf_fn(params)
-        k1, k2, k3 = jax.random.split(key, 3)
-        from isopoints_tpu.models.fields import sdf_and_grad as _sg
-        _, normals = _sg(f, points)
-        vis = self.visible_points_mask(params, points, mask, normals, camera) & mask
+        k1, k2 = jax.random.split(key)
+        if normals is None:
+            from isopoints_tpu.models.fields import sdf_and_grad as _sg
+            _, normals = _sg(f, points)
+        if vis is None:
+            vis = self.visible_points_mask(params, points, mask, normals,
+                                           camera) & mask
 
-        n_vis = jnp.sum(vis.astype(jnp.int32), axis=-1)    # (1,)
         # cap: keep a random subset of m visible points (subsample path);
         # too-few: midpoint-upsample to m (upsample path). Both reduce to
         # "select up to m, then upsample buffer to target m".
         scores = jnp.where(vis, jax.random.uniform(k1, vis.shape), -1.0)
         _, top_idx = jax.lax.top_k(scores, min(m, points.shape[1]))
-        sel_ok = jnp.take_along_axis(scores, top_idx, axis=-1) > 0.0
+        # invalid slots carry the -1.0 sentinel (uniform draws land in
+        # [0, 1), including exactly 0.0)
+        sel_ok = jnp.take_along_axis(scores, top_idx, axis=-1) > -0.5
         sel = jnp.take_along_axis(points, top_idx[..., None], axis=1)
         if sel.shape[1] < m:
             pad = m - sel.shape[1]
@@ -152,7 +157,8 @@ class CombinedModel(ImplicitModel):
                                           iso_points, iso_mask,
                                           points, mask,
                                           camera: PerspectiveCamera,
-                                          key: jax.Array):
+                                          key: jax.Array,
+                                          normals=None, frontal=None):
         """Freespace + occluded-insurface candidates
         (combined_modeling.py:237-388).
 
@@ -189,11 +195,15 @@ class CombinedModel(ImplicitModel):
         free_mask = jnp.concatenate([free_rays_mask, (~iso_in_gt) & iso_mb],
                                     axis=1)
 
-        # --- occluded insurface points on in-mask rays
-        from isopoints_tpu.models.fields import sdf_and_grad as _sg
-        normals = jax.lax.stop_gradient(_sg(f, points)[1])
-        frontal = self.visible_points_mask(params, points, mask, normals,
-                                           camera) & mask
+        # --- occluded insurface points on in-mask rays (normals and the
+        # frontal visibility can be hoisted by the caller — forward
+        # already computed them in get_visible_iso_points)
+        if normals is None:
+            from isopoints_tpu.models.fields import sdf_and_grad as _sg
+            normals = jax.lax.stop_gradient(_sg(f, points)[1])
+        if frontal is None:
+            frontal = self.visible_points_mask(params, points, mask, normals,
+                                               camera) & mask
         occluded = self.visible_points_mask(params, points, mask, normals,
                                             back_camera(camera)) & mask
 
@@ -239,9 +249,18 @@ class CombinedModel(ImplicitModel):
                                   key, lights=lights, training=training)
             return out, points, points_mask
 
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2 = jax.random.split(key)
+        # shared no-grad per-point state: computed ONCE for both the
+        # visibility-projection and the off-surface bound search
+        f_trace = self.trace_sdf_fn(params)
+        from isopoints_tpu.models.fields import sdf_and_grad as _sg
+        pts_normals = jax.lax.stop_gradient(_sg(f_trace, points)[1])
+        frontal = self.visible_points_mask(params, points, points_mask,
+                                           pts_normals, camera) & points_mask
+
         iso_pts, iso_normals, iso_mask = self.get_visible_iso_points(
-            params, points, points_mask, camera, k1)
+            params, points, points_mask, camera, k1,
+            normals=pts_normals, vis=frontal)
 
         ons_pts, ons_mask = self.sample_onsurface_using_isopoints(
             params, iso_pts, iso_mask, mask_img, camera, training=training)
@@ -250,7 +269,8 @@ class CombinedModel(ImplicitModel):
             p_free, free_mask, p_ins, ins_mask = \
                 self.sample_offsurface_using_isopoints(
                     params, ndc_pixels, mask_img, iso_pts, iso_mask,
-                    points, points_mask, camera, k2)
+                    points, points_mask, camera, k2,
+                    normals=pts_normals, frontal=frontal)
         else:
             p_free, free_mask, p_ins, ins_mask = (
                 ons_pts, jnp.zeros_like(ons_mask),

@@ -45,7 +45,7 @@ class Generator:
                       two_stage: bool = True
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """(implicit_modeling.py:680-728 → get_surface_high_res_mesh)."""
-        f = self.model.sdf_fn(params)
+        f = self.model.trace_sdf_fn(params)  # fused no-grad path if enabled
         res = resolution or self.cfg.mesh_resolution
         if two_stage:
             verts, faces = get_surface_high_res_mesh(f, resolution=res)
@@ -98,7 +98,9 @@ class Generator:
         s = image_size or self.cfg.image_size
         b = camera.batch_size
         key = key if key is not None else jax.random.key(0)
-        f = self.model.sdf_fn(params)
+        # the single most evaluation-heavy no-grad path: use the fused
+        # Pallas MLP when the model enables it
+        f = self.model.trace_sdf_fn(params)
         _, ndc_full = arange_pixels((s, s), b)
         cam_pos = camera.camera_center()[:, None, :]
 

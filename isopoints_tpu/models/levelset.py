@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from isopoints_tpu.models.fields import sdf_and_grad
 from isopoints_tpu.ops.neighbors import knn_points, knn_gather
-from isopoints_tpu.ops.points import midpoint_upsample, wlop
+from isopoints_tpu.ops.points import _bbox_diag, midpoint_upsample, wlop
 from isopoints_tpu.utils import eps_denom, eps_sqrt, num_valid
 
 SDFFn = Callable[[jax.Array], jax.Array]  # (..., 3) -> (...)
@@ -135,12 +135,8 @@ def resample_repulsion(sdf_fn: SDFFn, points: jax.Array, normals: jax.Array,
     return ProjectionResult(pts, nrm, masks[-1])
 
 
-def _cloud_diag(points: jax.Array, mask: jax.Array) -> jax.Array:
-    big = 1e10
-    m = mask[..., None]
-    lo = jnp.min(jnp.where(m, points, big), axis=1)
-    hi = jnp.max(jnp.where(m, points, -big), axis=1)
-    return jnp.linalg.norm(hi - lo, axis=-1)
+# per-batch masked bbox diagonal — single canonical helper in ops.points
+_cloud_diag = _bbox_diag
 
 
 # ---------------------------------------------------------------------------
@@ -216,6 +212,11 @@ def edge_aware_upsample(sdf_fn: SDFFn, points: jax.Array, mask: jax.Array,
             jnp.ceil(num_valid(mask) * cfg.upsample_ratio).astype(jnp.int32), cap)
     k = cfg.knn_k
 
+    # NOTE: the denoise/LOP math below intentionally stays inline rather
+    # than calling ops.points.denoise_normals_bilateral / ear_lop_move —
+    # this variant shares ONE knn query across both stages and derives
+    # inv_sigma from the count (levelset_sampling.py:500-598) where the
+    # ops helpers use the reference's point_processing.py conventions.
     inv_sigma = (num_valid(mask).astype(jnp.float32) / 2.0)[:, None, None]
     spatial_cut = 16.0 / jnp.maximum(inv_sigma, 1e-12)
 

@@ -101,9 +101,13 @@ class PointModel:
         shaded = lighting_texture(pc.points, pc.normals, lights,
                                   camera.camera_center(), pc.features,
                                   shininess=self.cfg.shininess)
-        scale = jnp.exp(params["log_size"])
+        # global learnable splat-size scaler (point_modeling.py:33-43);
+        # enters the rasterizer as a cutoff scale like the reference's
+        # point_size_scaler
+        scale = jnp.exp(params["log_size"]) if self.cfg.learn_size else None
         settings = self.raster_settings
-        out = render_pointcloud(pc.with_features(shaded), camera, settings)
+        out = render_pointcloud(pc.with_features(shaded), camera, settings,
+                                cutoff_scale=scale)
 
         if mask_img is not None:
             pix = camera.project_ndc(pc.points)[..., :2]
@@ -111,7 +115,6 @@ class PointModel:
                 mask_img, jax.lax.stop_gradient(pix), mode="nearest")[..., 0] > 0.5
         else:
             inmask = jnp.ones(pc.mask.shape, dtype=bool)
-        del scale  # global size scaler folded into Vrk by callers if needed
         return PointModelOutput(rgba=out.rgba, visibility=out.visibility,
                                 inmask=inmask)
 

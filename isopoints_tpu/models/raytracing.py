@@ -399,8 +399,12 @@ def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
     cam_loc = jnp.broadcast_to(cam_loc, ray_dirs.shape)
     near, far, mask_intersect = intersection_with_unit_sphere(
         cam_loc, ray_dirs, radius=cfg.object_bounding_sphere)
-    t_near = jnp.linalg.norm(near - cam_loc, axis=-1)
-    t_far = jnp.linalg.norm(far - cam_loc, axis=-1)
+    # SIGNED depths (projection onto the ray): a camera inside the
+    # sphere gets a negative near depth, keeping the full chord as the
+    # trace interval (the reference keeps init_zdepth signed,
+    # utils/__init__.py:521-529)
+    t_near = jnp.sum((near - cam_loc) * ray_dirs, axis=-1)
+    t_far = jnp.sum((far - cam_loc) * ray_dirs, axis=-1)
 
     acc_s, acc_e, unfinished = _bidirectional_sphere_trace(
         sdf_fn, cam_loc, ray_dirs, mask_intersect, t_near, t_far, cfg)

@@ -35,17 +35,20 @@ def _build_lib() -> Optional[ctypes.CDLL]:
                          f"isopoints_native_{os.getuid()}")
     os.makedirs(cache, exist_ok=True)
     lib_path = os.path.join(cache, f"libmarchingtet_{digest}.so")
-    if not os.path.exists(lib_path):
-        tmp = lib_path + ".tmp"
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp]
-        try:
+    try:
+        if not os.path.exists(lib_path):
+            # per-process tmp path: concurrent builders each install
+            # atomically via os.replace, never sharing a partial file
+            tmp = f"{lib_path}.{os.getpid()}.tmp"
+            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                   "-o", tmp]
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             os.replace(tmp, lib_path)
-        except (subprocess.SubprocessError, OSError) as e:
-            get_logger().warning("native build failed (%s); using numpy "
-                                 "marching tetrahedra", e)
-            return None
-    lib = ctypes.CDLL(lib_path)
+        lib = ctypes.CDLL(lib_path)
+    except (subprocess.SubprocessError, OSError) as e:
+        get_logger().warning("native build/load failed (%s); using numpy "
+                             "marching tetrahedra", e)
+        return None
     lib.marching_tets.restype = ctypes.c_int
     lib.marching_tets.argtypes = [
         ctypes.POINTER(ctypes.c_float),                       # values

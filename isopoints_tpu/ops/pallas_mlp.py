@@ -159,7 +159,9 @@ def make_fused_sdf_fn(field, params,
     num_frequencies=0. The returned callable carries `.sdf_and_grad`.
     """
     try:
-        if isinstance(field, SirenField) and field.out_dim == 1:
+        if (isinstance(field, SirenField) and field.out_dim == 1
+                and field.activation is None and field.outermost_linear
+                and field.c_dim == 0):
             return make_fused_siren_sdf(field, params, interpret)[0]
         if isinstance(field, SDFField) and field.num_frequencies <= 0 \
                 and field.out_dim == 1:

@@ -111,7 +111,8 @@ def _tangent_basis(normals: jax.Array) -> jax.Array:
 
 def compute_splat_params(points: jax.Array, normals: jax.Array, mask: jax.Array,
                          camera: PerspectiveCamera,
-                         settings: RasterizationSettings) -> SplatParams:
+                         settings: RasterizationSettings,
+                         cutoff_scale=None) -> SplatParams:
     """Per-point EWA parameters (rasterizer.py:523-563 _get_per_point_info,
     plus the depth/backface filters :149-218).
 
@@ -136,13 +137,15 @@ def compute_splat_params(points: jax.Array, normals: jax.Array, mask: jax.Array,
     points_d = sg(points)
     normals_d = sg(normals)
 
-    # --- Vrk: h_k from knn spacing (rasterizer.py:344-400)
-    res = knn_points(points_d, points_d, mask, mask, k=s.knn_k, exclude_self=True)
+    # --- Vrk: h_k from knn spacing (rasterizer.py:344-400); the
+    # reference queries K=7 INCLUDING self -> 6 true neighbors
+    res = knn_points(points_d, points_d, mask, mask, k=max(s.knn_k - 1, 1),
+                     exclude_self=True)
     sq = jnp.where(res.mask, res.dists, 0.0)
     h_k = 0.5 * jnp.max(sq, axis=-1)                          # (B, P)
-    # too-few-neighbor clouds: fixed spacing (reference :377)
+    # too-few-neighbor clouds: sq_dist=1e-3 -> h_k=5e-4 (reference :377-385)
     enough = jnp.sum(mask.astype(jnp.int32), axis=-1, keepdims=True) >= s.knn_k
-    h_k = jnp.where(enough, h_k, 1e-3)
+    h_k = jnp.where(enough, h_k, 5e-4)
     if s.Vrk_invariant:
         denom = jnp.maximum(jnp.sum(rmask, axis=-1, keepdims=True), 1)
         h_k = jnp.sum(jnp.where(rmask, h_k, 0.0), axis=-1, keepdims=True) / denom
@@ -198,6 +201,10 @@ def compute_splat_params(points: jax.Array, normals: jax.Array, mask: jax.Array,
     # --- axis-aligned radii (rasterizer.py:496-521)
     a, bb, c = ellipse[..., 0], ellipse[..., 1], ellipse[..., 2]
     cut = jnp.full_like(a, s.cutoff_threshold)
+    if cutoff_scale is not None:
+        # global learnable splat-size scaler (point_modeling.py:43's
+        # point_size_scaler entering as a cutoff scale)
+        cut = cut * sg(cutoff_scale)
     denom = eps_denom(4.0 * a * c - bb * bb, 1e-12)
     ry = jnp.sqrt(eps_sqrt(4.0 * a * cut / denom, 1e-17))
     rx = jnp.sqrt(eps_sqrt(4.0 * c * cut / denom, 1e-17))

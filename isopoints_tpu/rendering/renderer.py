@@ -34,7 +34,8 @@ class RenderOutput(NamedTuple):
 def render_pointcloud(cloud: PointCloud, camera: PerspectiveCamera,
                       settings: RasterizationSettings,
                       features: Optional[jax.Array] = None,
-                      normalize_weights: bool = True) -> RenderOutput:
+                      normalize_weights: bool = True,
+                      cutoff_scale=None) -> RenderOutput:
     """Full splat-render pipeline (renderer.py:36-82).
 
     Args:
@@ -47,7 +48,8 @@ def render_pointcloud(cloud: PointCloud, camera: PerspectiveCamera,
         features = jnp.ones_like(cloud.points)
 
     params = compute_splat_params(cloud.points, cloud.normals, cloud.mask,
-                                  camera, settings)
+                                  camera, settings,
+                                  cutoff_scale=cutoff_scale)
     frags = rasterize_splats(params.pts_ndc, params.ellipse, params.radii,
                              params.cutoff, params.mask, settings)
 
