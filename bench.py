@@ -73,6 +73,22 @@ def main():
 
     dt = min(times)
     rays_per_s = N_RAYS / dt
+
+    # roofline accounting (stderr; BASELINE asks for speed-of-light
+    # accounting per kernel): estimate total MLP evals this trace does
+    import sys
+
+    from isopoints_tpu.utils.profiling import mlp_eval_roofline
+
+    cfg_obj = cfg
+    evals_per_ray = (
+        2 * (cfg_obj.sphere_tracing_iters + 1) * (1 + cfg_obj.line_step_iters)
+        + cfg_obj.sampler_fraction * (cfg_obj.n_steps + cfg_obj.n_secant_steps))
+    n_evals = int(N_RAYS * evals_per_ray)
+    rl = mlp_eval_roofline("sphere_trace_mlp", n_evals,
+                           [3, 256, 256, 256, 256, 1], dt)
+    print(rl.report(), file=sys.stderr)
+
     print(json.dumps({
         "metric": "sphere_traced_rays_per_s_per_chip",
         "value": round(rays_per_s, 1),

@@ -145,3 +145,31 @@ class TestMVRTrainingE2E:
         # eval runs and returns sane metrics
         ev = trainer.eval_step(state, img, mask, camera, n_rays=512)
         assert 0.0 <= ev["iou"] <= 1.0
+
+
+class TestMetricsAndProfiling:
+    def test_metrics_writer_roundtrip(self, tmp_path):
+        from isopoints_tpu.misc.metrics import MetricsWriter, load_metrics
+
+        w = MetricsWriter(str(tmp_path))
+        w.log(0, {"loss": 1.5, "n_iso": 10})
+        w.log(1, {"loss": 1.2}, prefix="eval_")
+        w.close()
+        rows = load_metrics(w.path)
+        assert rows[0]["loss"] == 1.5 and rows[0]["it"] == 0
+        assert rows[1]["eval_loss"] == 1.2
+
+    def test_roofline_accounting(self):
+        from isopoints_tpu.utils.profiling import mlp_eval_roofline
+
+        # fused vs unfused differ only in HBM traffic
+        rf = mlp_eval_roofline("f", 1_000_000, [3, 256, 256, 1], 0.01,
+                               fused=True)
+        ru = mlp_eval_roofline("u", 1_000_000, [3, 256, 256, 1], 0.01,
+                               fused=False)
+        assert rf.flops == ru.flops
+        assert ru.hbm_bytes > rf.hbm_bytes * 10
+        u = rf.utilization()
+        assert 0 < u["sol_fraction"] <= 1.5
+        assert u["bound"] in ("compute", "memory")
+        assert "TFLOP" in rf.report()

@@ -90,6 +90,9 @@ def main():
                              points=state.points)
         ckpt.save(name, it=state.it, **extra)
 
+    from isopoints_tpu.misc.metrics import MetricsWriter
+
+    metrics_writer = MetricsWriter(out_dir)
     rng = np.random.RandomState(args.seed)
     batch_views = 2
     t_start = time.time()
@@ -105,6 +108,7 @@ def main():
             T=np.stack([cam_mats[i][3, :3] for i in idx]),
             focal_length=fl, principal_point=pp)
         state, metrics = trainer.train_step(state, img, mask, camera)
+        metrics_writer.log(it, metrics)
 
         if it % args.print_every == 0:
             dt = time.time() - t_last
@@ -115,6 +119,7 @@ def main():
             save("model.npz")
         if args.validate_every > 0 and it > 0 and it % args.validate_every == 0:
             ev = trainer.eval_step(state, img, mask, camera)
+            metrics_writer.log(it, ev, prefix="eval_")
             log.info("eval it %05d %s", it,
                      " ".join(f"{k}={v:.4g}" for k, v in ev.items()))
             if ev["iou"] > best_iou:
