@@ -81,13 +81,40 @@ def main():
     from isopoints_tpu.utils.profiling import mlp_eval_roofline
 
     cfg_obj = cfg
+    # UPPER BOUND on evals (the while_loop early-exits converged rays,
+    # so reported utilization is an upper bound too)
     evals_per_ray = (
         2 * (cfg_obj.sphere_tracing_iters + 1) * (1 + cfg_obj.line_step_iters)
         + cfg_obj.sampler_fraction * (cfg_obj.n_steps + cfg_obj.n_secant_steps))
     n_evals = int(N_RAYS * evals_per_ray)
     rl = mlp_eval_roofline("sphere_trace_mlp", n_evals,
                            [3, 256, 256, 256, 256, 1], dt)
-    print(rl.report(), file=sys.stderr)
+    print(rl.report(), "(upper bound: early-exit rays counted full)",
+          file=sys.stderr)
+
+    # secondary BASELINE metric: iso-point Newton projections/s
+    from isopoints_tpu.models.levelset import project_points_newton
+
+    n_pts = 65536 if jax.default_backend() == "tpu" else 1024
+    pts0 = jax.random.uniform(jax.random.key(9), (1, n_pts, 3),
+                              minval=-0.8, maxval=0.8)
+    pmask = jnp.ones((1, n_pts), bool)
+
+    @jax.jit
+    def project(p):
+        return project_points_newton(sdf, p, pmask, max_iters=10,
+                                     tolerance=1e-5)
+
+    out2 = project(pts0)
+    jax.block_until_ready(out2)
+    pt = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out2 = project(pts0)
+        jax.block_until_ready(out2)
+        pt.append(time.perf_counter() - t0)
+    print(f"iso_point_projections_per_s: {n_pts/min(pt):.0f} "
+          f"(converged {int(out2.mask.sum())}/{n_pts})", file=sys.stderr)
 
     print(json.dumps({
         "metric": "sphere_traced_rays_per_s_per_chip",
