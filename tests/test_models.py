@@ -219,3 +219,56 @@ class TestImageOps:
         vals = sample_image_at_ndc(img, ndc)
         np.testing.assert_allclose(np.asarray(vals[0, :, 0]),
                                    np.arange(16.0), atol=1e-5)
+
+
+class TestOccupancyModel:
+    def setup_method(self):
+        from isopoints_tpu.models.occupancy import OccupancyConfig, OccupancyModel
+
+        class AnalyticOccDecoder:
+            """occupancy = sigmoid(alpha*(r0 - |x|)): inside-high."""
+            def init(self, key):
+                return {"r": jnp.asarray(0.5)}
+
+            def apply(self, params, x, c=None):
+                from isopoints_tpu.models.fields import FieldOutput
+                logits = 20.0 * (params["r"] - jnp.linalg.norm(
+                    x, axis=-1, keepdims=True))
+                return FieldOutput(occupancy=jax.nn.sigmoid(logits))
+
+        self.model = OccupancyModel(AnalyticOccDecoder())
+        self.params = self.model.init(jax.random.key(0))
+
+    def test_pixels_to_world_on_sphere(self):
+        cam = make_camera()
+        _, ndc = arange_pixels((16, 16), 1)
+        pts, mask = self.model.pixels_to_world(self.params, ndc, cam)
+        hits = np.asarray(mask)
+        assert hits.sum() > 0
+        r = np.linalg.norm(np.asarray(pts), axis=-1)
+        np.testing.assert_allclose(r[hits], 0.5, atol=2e-2)
+
+    def test_forward_masks_partition(self):
+        from isopoints_tpu.models.occupancy import occupancy_bce_loss
+        cam = make_camera()
+        img, mask_img = gt_images(cam, size=16)
+        _, ndc = arange_pixels((16, 16), 1)
+        out = self.model.forward(self.params, ndc, mask_img, cam,
+                                 jax.random.key(1))
+        assert not np.any(np.asarray(out.freespace_mask) &
+                          np.asarray(out.occupancy_mask))
+        # BCE gradients flow to the decoder params
+        def loss(params):
+            o = self.model.forward(params, ndc, mask_img, cam,
+                                   jax.random.key(1))
+            return occupancy_bce_loss(o.logits_freespace,
+                                      jnp.zeros_like(o.logits_freespace),
+                                      mask=o.freespace_mask)
+        g = jax.grad(loss)(self.params)
+        assert np.isfinite(float(g["decoder"]["r"]))
+
+    def test_generate_mesh(self):
+        verts, faces = self.model.generate_mesh(self.params, resolution=32)
+        assert len(verts) > 50
+        r = np.linalg.norm(verts, axis=-1)
+        np.testing.assert_allclose(r.mean(), 0.5, atol=0.05)
