@@ -164,21 +164,23 @@ def make_fused_siren_sdf(field: SirenField, params: Dict,
     return sdf, sdf_and_grad
 
 
-def make_fused_sdf_fn(field, params,
-                      interpret: Optional[bool] = None) -> Optional[Callable]:
+def make_fused_sdf_fn(field, params, interpret: Optional[bool] = None,
+                      bf16: bool = True) -> Optional[Callable]:
     """Fused callable for a supported field, or None.
 
     Supported: SirenField with a pure-sdf head; SDFField with
     num_frequencies=0. The returned callable carries `.sdf_and_grad`.
+    bf16 defaults ON: outputs are bit-identical to the default-precision
+    path on TPU (see _igr_kernel docstring) at 1.67x the throughput.
     """
     try:
         if (isinstance(field, SirenField) and field.out_dim == 1
                 and field.activation is None and field.outermost_linear
                 and field.c_dim == 0):
-            return make_fused_siren_sdf(field, params, interpret)[0]
+            return make_fused_siren_sdf(field, params, interpret, bf16=bf16)[0]
         if isinstance(field, SDFField) and field.num_frequencies <= 0 \
                 and field.out_dim == 1:
-            return make_fused_igr_sdf(field, params, interpret)[0]
+            return make_fused_igr_sdf(field, params, interpret, bf16=bf16)[0]
     except AssertionError:
         return None
     return None
