@@ -165,14 +165,18 @@ def make_fused_siren_sdf(field: SirenField, params: Dict,
 
 
 def make_fused_sdf_fn(field, params, interpret: Optional[bool] = None,
-                      bf16: bool = True) -> Optional[Callable]:
+                      bf16: Optional[bool] = None) -> Optional[Callable]:
     """Fused callable for a supported field, or None.
 
     Supported: SirenField with a pure-sdf head; SDFField with
     num_frequencies=0. The returned callable carries `.sdf_and_grad`.
-    bf16 defaults ON: outputs are bit-identical to the default-precision
-    path on TPU (see _igr_kernel docstring) at 1.67x the throughput.
+    bf16 defaults ON on TPU only: there it is bit-identical to the
+    default-precision path (see _igr_kernel docstring) at 1.67x the
+    throughput; on CPU (interpret mode) true-f32 matmuls would lose
+    precision from the cast, so it stays off.
     """
+    if bf16 is None:
+        bf16 = jax.default_backend() == "tpu"
     try:
         if (isinstance(field, SirenField) and field.out_dim == 1
                 and field.activation is None and field.outermost_linear

@@ -361,11 +361,15 @@ def _occ_backward_one(pts, radii, visible, grad_occ,
                       settings: RasterizationSettings):
     """DSS occupancy→xy gradient for one cloud.
 
-    Parity: RasterizePointsOccBackwardCudaKernel
-    (rasterize_points.cu:673-760): for every pixel with grad_occ≠0 and
-    every visible point whose `radii_backward_scaler`-scaled bbox
-    covers it, accumulate (pixel−point)/dist²·grad_occ, skipping
-    positive-grad pixels outside the unscaled splat bbox.
+    Parity: the reference's DEFAULT backward path, the fast grid kernel
+    (rasterize_points_backward.cu:99-178 + host search-radius setup,
+    rasterizer.py:884-904): for every pixel with grad_occ≠0 and every
+    visible point within the per-cloud radial window
+    dist² ≤ (median(radii)·radii_backward_scaler)², accumulate
+    (pixel−point)/dist²·grad_occ, skipping positive-grad pixels outside
+    the point's UNSCALED splat bbox. (The slow CUDA and CPU variants
+    use per-point scaled-bbox windows — with differing inner tests —
+    but they are not the production path.)
     """
     s = settings
     S, T = s.image_size, s.tile_size
@@ -377,6 +381,12 @@ def _occ_backward_one(pts, radii, visible, grad_occ,
     rx, ry = radii[:, 0], radii[:, 1]
     renderable = visible & (z >= 0) & (jnp.abs(px) <= 1.0) & (jnp.abs(py) <= 1.0)
 
+    # per-cloud search radius: median of the visible radii (both axes)
+    # times the backward scaler (rasterizer.py:884)
+    r_flat = jnp.where(renderable[:, None], radii, jnp.nan).reshape(-1)
+    search_r = jnp.nan_to_num(jnp.nanmedian(r_flat), nan=1e-3) * rs
+    search_r2 = search_r * search_r
+
     cols = jnp.arange(S)
     xs = _pixel_ndc(cols, S)
     half = float(T - 1) / S
@@ -387,8 +397,9 @@ def _occ_backward_one(pts, radii, visible, grad_occ,
         rows = ti * T + jnp.arange(T)
         ys = _pixel_ndc(rows, S)
         cy = 0.5 * (ys[0] + ys[-1])
+        rad_x = jnp.full_like(px, 1.0) * search_r
         cand_idx, cand_ok = _tile_candidates(
-            px, py, z, rx * rs, ry * rs, renderable, cy, tile_centers_x, half, M)
+            px, py, z, rad_x, rad_x, renderable, cy, tile_centers_x, half, M)
 
         g = lambda v: v[cand_idx]
         cpx, cpy = g(px), g(py)
@@ -397,14 +408,14 @@ def _occ_backward_one(pts, radii, visible, grad_occ,
 
         dx = xs.reshape(nt, T)[:, None, :, None] - cpx[:, None, None, :]
         dy = ys[None, :, None, None] - cpy[:, None, None, :]
-        in_window = (jnp.abs(dx) <= (crx * rs)[:, None, None, :]) & \
-                    (jnp.abs(dy) <= (cry * rs)[:, None, None, :])
+        dist2 = dx * dx + dy * dy
+        in_window = dist2 <= search_r2
         outside_splat = (jnp.abs(dx) > crx[:, None, None, :]) | \
                         (jnp.abs(dy) > cry[:, None, None, :])
         gop = go[..., None]                                    # (nt, T, T, 1)
         use = in_window & cand_ok[:, None, None, :] & (gop != 0.0) & \
             ~((gop > 0.0) & outside_splat)
-        denom = eps_denom(dx * dx + dy * dy, 1e-10)
+        denom = eps_denom(dist2, 1e-10)
         gx = jnp.where(use, dx / denom * gop, 0.0).sum(axis=(1, 2))   # (nt, M)
         gy = jnp.where(use, dy / denom * gop, 0.0).sum(axis=(1, 2))
         return cand_idx, gx, gy

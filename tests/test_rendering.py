@@ -297,15 +297,20 @@ class TestPallasFineStage:
 
 
 def dense_occ_backward(pts, radii, visible, grad_occ, S, radii_s):
-    """Brute-force numpy reference of the DSS occupancy backward
-    (rasterize_points.cu:673-760): for every pixel with grad_occ != 0
-    and every renderable point whose scaled bbox covers it, accumulate
+    """Brute-force numpy reference of the reference's DEFAULT (fast
+    grid) occupancy backward (rasterize_points_backward.cu:99-178 +
+    rasterizer.py:884): for every pixel with grad_occ != 0 and every
+    renderable point within the per-cloud radial window
+    dist^2 <= (median(radii)*radii_s)^2, accumulate
     (pixel - point)/dist^2 * grad_occ, skipping positive-grad pixels
     outside the unscaled splat bbox."""
     pts, radii = np.asarray(pts), np.asarray(radii)
     visible = np.asarray(visible)
     grad_occ = np.asarray(grad_occ)
     P = pts.shape[0]
+    rend = visible & (pts[:, 2] >= 0) & (np.abs(pts[:, 0]) <= 1.0) & \
+        (np.abs(pts[:, 1]) <= 1.0)
+    search_r = np.median(radii[rend].reshape(-1)) * radii_s
     xs = np.asarray(_pixel_ndc(jnp.arange(S), S))
     grad = np.zeros((P, 2), np.float64)
     for r in range(S):
@@ -315,14 +320,11 @@ def dense_occ_backward(pts, radii, visible, grad_occ, S, radii_s):
                 continue
             xf, yf = xs[c], xs[r]
             for p in range(P):
-                if not visible[p]:
+                if not rend[p]:
                     continue
                 px, py, pz = pts[p]
-                if pz < 0 or abs(px) > 1.0 or abs(py) > 1.0:
-                    continue
                 dx, dy = xf - px, yf - py
-                if abs(dx) > radii[p, 0] * radii_s or \
-                        abs(dy) > radii[p, 1] * radii_s:
+                if dx * dx + dy * dy > search_r * search_r:
                     continue
                 outside = abs(dx) > radii[p, 0] or abs(dy) > radii[p, 1]
                 if g > 0.0 and outside:
