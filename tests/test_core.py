@@ -150,3 +150,53 @@ def test_camera_sampler():
     assert float(jnp.abs(ndc[..., :2]).max()) < 1e-4
     d = np.linalg.norm(np.asarray(cams.camera_center()), axis=-1)
     assert (d >= 2.0 - 1e-5).all() and (d <= 4.0 + 1e-5).all()
+
+
+class TestDTUCameraDecomposition:
+    def test_krt_roundtrip_and_projection(self, tmp_path):
+        """Synthetic DTU cameras.npz: P = K[R|t] must decompose back and
+        the resulting PerspectiveCamera must project a known world point
+        to the analytically-computed pixel (dataset.py:300-341 parity)."""
+        import os
+        from isopoints_tpu.data.dataset import DTUDataset
+
+        h = w = 64
+        K = np.array([[80.0, 0.0, 31.0],
+                      [0.0, 82.0, 33.5],
+                      [0.0, 0.0, 1.0]], np.float32)
+        # rotation around y + translation
+        th = 0.3
+        R = np.array([[np.cos(th), 0, np.sin(th)],
+                      [0, 1, 0],
+                      [-np.sin(th), 0, np.cos(th)]], np.float32)
+        t = np.array([0.1, -0.2, 2.0], np.float32)
+        P = K @ np.concatenate([R, t[:, None]], axis=1)
+
+        d = tmp_path / "dtu"
+        (d / "image").mkdir(parents=True)
+        (d / "mask").mkdir()
+        from isopoints_tpu.utils.io import save_image
+        img = np.ones((h, w, 3), np.float32)
+        save_image(str(d / "image" / "0.png"), img)
+        save_image(str(d / "mask" / "0.png"), img[..., 0])
+        np.savez(str(d / "cameras.npz"),
+                 world_mat_0=np.concatenate([P, [[0, 0, 0, 1]]], 0),
+                 scale_mat_0=np.eye(4, dtype=np.float32))
+
+        ds = DTUDataset(str(d))
+        K2 = ds.intrinsics[0]
+        np.testing.assert_allclose(K2, K, atol=1e-3)
+
+        cam = ds.camera([0], (h, w))
+        # project a world point both ways
+        X = np.array([0.2, 0.1, 1.0], np.float32)
+        x_h = P @ np.append(X, 1.0)
+        u, v = x_h[0] / x_h[2], x_h[1] / x_h[2]   # pixel coords (col, row)
+
+        import jax.numpy as jnp
+        from isopoints_tpu.ops.images import ndc_to_pix_coords
+        ndc = cam.project_ndc(jnp.asarray(X)[None, None])[0, 0, :2]
+        pix = np.asarray(ndc_to_pix_coords(ndc[None], (h, w)))[0]
+        # K places pixel centers at i+0.5; this framework's convention
+        # puts them at integer i — a fixed half-pixel offset
+        np.testing.assert_allclose(pix, [u - 0.5, v - 0.5], atol=0.05)

@@ -213,3 +213,18 @@ class TestIMLS:
         assert len(verts) > 100 and len(faces) > 100
         r = np.linalg.norm(verts, axis=-1)
         np.testing.assert_allclose(r.mean(), 0.5, atol=0.03)
+
+
+class TestRIMLSProjection:
+    def test_denoises_sphere(self):
+        from isopoints_tpu.ops.imls import project_to_latent_surface
+        key = jax.random.key(0)
+        d = jax.random.normal(key, (1, 2048, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        clean = 0.5 * d
+        noisy = clean + 0.01 * jax.random.normal(jax.random.key(1), clean.shape)
+        out = project_to_latent_surface(noisy, d, iters=3)
+        r_before = np.abs(np.linalg.norm(np.asarray(noisy[0]), axis=-1) - 0.5)
+        r_after = np.abs(np.linalg.norm(np.asarray(out[0]), axis=-1) - 0.5)
+        # projection pulls points toward the latent sphere
+        assert r_after.mean() < r_before.mean() * 0.75
