@@ -41,10 +41,17 @@ def main():
     from isopoints_tpu.utils.meshing import sample_points_from_mesh
 
     log = get_logger()
-    cache = os.path.join(args.exp_dir, f"val{args.n_samples}.npy")
+    # cache keyed by GT source so switching --gt-* never reuses stale
+    # samples; normals cached alongside
+    src_tag = ("mesh" if args.gt_mesh else
+               "points" if args.gt_points else args.gt_sdf or "none")
+    cache = os.path.join(args.exp_dir,
+                         f"val{args.n_samples}_{src_tag}.npz")
     gt_normals = None
     if os.path.exists(cache):
-        gt_points = np.load(cache)
+        with np.load(cache) as d:
+            gt_points = d["points"]
+            gt_normals = d["normals"] if "normals" in d else None
     elif args.gt_points:
         data = read_ply(args.gt_points)
         gt_points = data["points"][:args.n_samples]
@@ -53,7 +60,7 @@ def main():
         data = read_ply(args.gt_mesh)
         gt_points, gt_normals = sample_points_from_mesh(
             data["points"], data["faces"], args.n_samples)
-        np.save(cache, gt_points)
+        np.savez(cache, points=gt_points, normals=gt_normals)
     elif args.gt_sdf:
         import jax.numpy as jnp
 
@@ -80,6 +87,10 @@ def main():
     if not meshes:
         log.warning("no meshes found under %s", args.exp_dir)
         return
+    gt_verts = gt_faces = None
+    if args.gt_mesh:
+        gd = read_ply(args.gt_mesh)
+        gt_verts, gt_faces = gd["points"], gd.get("faces")
 
     out_csv = os.path.join(args.exp_dir, "eval.csv")
     rows = []
@@ -88,11 +99,16 @@ def main():
         if "faces" not in data or data["faces"] is None:
             continue
         metrics = evaluate_mesh(data["points"], data["faces"], gt_points,
-                                gt_normals, n_samples=args.n_samples)
+                                gt_normals, gt_verts=gt_verts,
+                                gt_faces=gt_faces, n_samples=args.n_samples)
         row = {"mesh": os.path.relpath(m, args.exp_dir), **metrics}
         rows.append(row)
         log.info("%s: %s", row["mesh"],
                  " ".join(f"{k}={v:.6g}" for k, v in metrics.items()))
+    if not rows:
+        log.warning("no evaluable meshes (missing faces?) under %s",
+                    args.exp_dir)
+        return
     with open(out_csv, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         writer.writeheader()

@@ -63,12 +63,17 @@ def make_sharded_train_step(model: CombinedModel,
 
         camera = PerspectiveCamera(R=camR, T=camT, focal_length=fl,
                                    principal_point=pp)
-        # distinct eikonal/minimal-sdf randomness per shard
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        # The iso-point pipeline (visible projection -> new_pts) must be
+        # DETERMINISTIC across shards (its inputs — points, camera, key —
+        # are all replicated), so the main key stays UNFOLDED; only the
+        # eikonal sampling, which SHOULD differ per shard, gets an
+        # axis-folded key.
+        k_eik = jax.random.fold_in(key, jax.lax.axis_index(axis))
         loss, (metrics, new_pts, new_mask, _saliency) = compute_loss(
             model, params, points, points_mask, pixels, img, mask_img,
             camera, key, hp, project,
-            n_eikonal_points=max(n_eikonal_points // n_dev, 1))
+            n_eikonal_points=max(n_eikonal_points // n_dev, 1),
+            eikonal_key=k_eik)
         return loss, (metrics, new_pts, new_mask)
 
     def shard_body(params, opt_state, points, points_mask, pixels, img,

@@ -92,13 +92,16 @@ def point_face_distance(points: np.ndarray, verts: np.ndarray,
         dbc = jnp.einsum("fd,cfd->cf", bc, bp)
         cand_bc = edge_closest(b, bc, dbc, jnp.sum(bc * bc, -1)[None])
 
+        # the interior candidate is valid ONLY inside the triangle
+        # (independently-clamped v/w otherwise land on a fake point,
+        # e.g. v=w=1 -> b+c-a); outside, the closest point is on an edge
         inside = (va >= 0) & (vb >= 0) & (vc >= 0)
-        best = jnp.where(inside[..., None], proj_in, cand_ab)
-        d_best = jnp.sum((p[:, None] - best) ** 2, -1)
-        for cand in (cand_ac, cand_bc, proj_in):
+        d_best = jnp.sum((p[:, None] - cand_ab) ** 2, -1)
+        for cand in (cand_ac, cand_bc):
             d_c = jnp.sum((p[:, None] - cand) ** 2, -1)
-            take = d_c < d_best
-            d_best = jnp.where(take, d_c, d_best)
+            d_best = jnp.minimum(d_best, d_c)
+        d_in = jnp.sum((p[:, None] - proj_in) ** 2, -1)
+        d_best = jnp.where(inside, jnp.minimum(d_best, d_in), d_best)
         return jnp.min(d_best, axis=1)                  # (C,)
 
     points = np.asarray(points, np.float32)
@@ -114,15 +117,28 @@ def point_face_distance(points: np.ndarray, verts: np.ndarray,
 def evaluate_mesh(pred_verts: np.ndarray, pred_faces: np.ndarray,
                   gt_points: np.ndarray,
                   gt_normals: Optional[np.ndarray] = None,
+                  gt_verts: Optional[np.ndarray] = None,
+                  gt_faces: Optional[np.ndarray] = None,
                   n_samples: int = 50_000, seed: int = 0) -> Dict[str, float]:
     """Full mesh evaluation (evaluation.py:75-181): sample n points
-    from the predicted mesh, chamfer vs GT points + point-face."""
+    from the predicted mesh, chamfer vs GT points + point-face.
+
+    `point_face` direction: when a GT MESH is given, predicted samples →
+    GT faces (the reference's point_mesh_face_distance(meshes_gt, pcl)
+    primary term). With point-only GT the reverse (GT points → predicted
+    faces) is reported as `point_face_rev` — a completeness metric, not
+    directly comparable to the reference number.
+    """
     samples, sample_normals = sample_points_from_mesh(
         pred_verts, pred_faces, n_samples, seed=seed)
     metrics = chamfer_distance(
         jnp.asarray(samples), jnp.asarray(gt_points, np.float32),
         x_normals=jnp.asarray(sample_normals),
         y_normals=None if gt_normals is None else jnp.asarray(gt_normals))
-    metrics["point_face"] = point_face_distance(gt_points, pred_verts,
-                                                pred_faces)
+    if gt_verts is not None and gt_faces is not None:
+        metrics["point_face"] = point_face_distance(samples, gt_verts,
+                                                    gt_faces)
+    else:
+        metrics["point_face_rev"] = point_face_distance(gt_points, pred_verts,
+                                                        pred_faces)
     return metrics

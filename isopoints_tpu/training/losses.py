@@ -156,7 +156,9 @@ def _rimls_weights(points, normals, mask, knn_k=32, filter_scale=2.0,
     normal_w = jnp.exp(-jnp.sum(dn * dn, axis=-1) * inv_sig_n)
     normals = denoise(normals, phi * normal_w)
 
-    ball = d2 > (filter_scale * spacing * 2.0)
+    # reference cutoff: dists > filter_scale * d(nn1)^2 * 2
+    # (losses.py:349,:420); spacing is already 2*d(nn1)^2
+    ball = d2 > (filter_scale * spacing)
     weights = jnp.where(ball | ~res.mask, 0.0, phi * normal_w)
     return res, nn, normals, normal_w, weights, ball
 

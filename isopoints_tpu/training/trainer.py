@@ -69,10 +69,15 @@ class TrainState(NamedTuple):
 def compute_loss(model: CombinedModel, params, points, points_mask,
                  ndc_pixels, img, mask_img, camera, key, hp: Dict,
                  project: bool, training: bool = True,
-                 n_eikonal_points: int = 1024):
+                 n_eikonal_points: int = 1024,
+                 eikonal_key: Optional[jax.Array] = None):
     """Loss assembly (trainer.py:413-505). `hp` holds DYNAMIC scalars
-    (lambda_*, sdf_alpha); `project` is static."""
+    (lambda_*, sdf_alpha); `project` is static. `eikonal_key` lets the
+    sharded step give each chip distinct eikonal samples while the
+    iso-point pipeline stays shard-deterministic."""
     k1, k2 = jax.random.split(key)
+    if eikonal_key is not None:
+        k2 = eikonal_key
     out, new_pts, new_mask = model.forward(
         params, ndc_pixels, img, mask_img, camera, k1,
         points=points, points_mask=points_mask, project=project,
@@ -184,12 +189,16 @@ class MVRTrainer:
         hp_host = self.scheduler.at(it)
         project = it >= self.cfg.warm_up_iters
 
-        # iso-point cache refresh (trainer.py:319-332 via _query_pcl)
+        # iso-point cache refresh (trainer.py:319-332 via _query_pcl);
+        # the scheduler's annealed projection tolerance/iters apply here
+        # (scheduler.py:96-112)
         points, points_mask = state.points, state.points_mask
         if project and (it == self.cfg.warm_up_iters or
                         (it % self.cfg.resample_every == 0)):
             points, points_mask = self.resample_iso_points(
-                state.params, hp_host["n_points_dss"])
+                state.params, hp_host["n_points_dss"],
+                proj_max_iters=hp_host["proj_max_iters"],
+                proj_tolerance=hp_host["proj_tolerance"])
 
         hp = {k: jnp.asarray(v, jnp.float32) for k, v in hp_host.items()
               if k in ("lambda_rgb", "lambda_freespace", "lambda_occupied",
@@ -247,22 +256,36 @@ class MVRTrainer:
         self._ref_stat_mean = self._ref_stat_mean + delta / jnp.maximum(n_new, 1.0)
         self._ref_stat_n = n_new
 
-    def resample_iso_points(self, params, n_points: int):
+    def resample_iso_points(self, params, n_points: int,
+                            proj_max_iters: Optional[int] = None,
+                            proj_tolerance: Optional[float] = None):
         """Fresh uniform iso-point set (trainer.py:217-237 _query_pcl →
         sample_uniform_iso_points); with saliency sampling on, insert
         children around high-loss reference points
-        (trainer.py:319-332 + levelset insert, SURVEY §3.2)."""
+        (trainer.py:319-332 + levelset insert, SURVEY §3.2).
+
+        `proj_max_iters`/`proj_tolerance` override the model defaults —
+        the scheduler anneals them (tolerance halves while iters double,
+        scheduler.py:96-112)."""
+        import dataclasses
+
         f = self.model.trace_sdf_fn(params)
+        pcfg = self.model.proj_cfg
+        if proj_max_iters is not None or proj_tolerance is not None:
+            pcfg = dataclasses.replace(
+                pcfg,
+                proj_max_iters=proj_max_iters or pcfg.proj_max_iters,
+                proj_tolerance=proj_tolerance or pcfg.proj_tolerance)
         res = sample_uniform_iso_points(
             f, n_points, self.keys.next(),
             bounding_sphere_radius=self.model.cfg.object_bounding_sphere,
-            cfg=self.model.proj_cfg)
+            cfg=pcfg)
         if (self.cfg.saliency_sampling and self._ref_points is not None
                 and float(jnp.max(self._ref_stat_n)) > 0):
             from isopoints_tpu.models.levelset import project_points
 
             proj = project_points(
-                f, res.points, res.mask, self.model.proj_cfg,
+                f, res.points, res.mask, pcfg,
                 skip_resampling=True, skip_upsampling=False,
                 ref_points=self._ref_points,
                 ref_metric=self._ref_stat_mean,

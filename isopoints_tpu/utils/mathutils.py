@@ -22,7 +22,8 @@ def pinverse(mat: jax.Array, eps: float = 1e-6) -> jax.Array:
     u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
     cutoff = eps * jnp.max(s, axis=-1, keepdims=True)
     s_inv = jnp.where(s > cutoff, 1.0 / jnp.maximum(s, 1e-30), 0.0)
-    return jnp.einsum("...ij,...j,...jk->...ki", vt, s_inv, jnp.swapaxes(u, -1, -2))
+    # A = U S Vt  =>  A+ = Vt^T S^-1 U^T
+    return jnp.einsum("...ji,...j,...kj->...ik", vt, s_inv, u)
 
 
 def local_coord_frames(

@@ -12,9 +12,9 @@ Peaks default to TPU v5e (the tunneled bench chip): 197 TFLOP/s bf16 /
 from dataclasses import dataclass
 from typing import Dict, Optional
 
-# TPU v5e single-chip peaks
-PEAK_F32_FLOPS = 98.3e12 / 2  # f32 runs the MXU at half bf16 rate
+# TPU v5e single-chip peaks (f32 = half the bf16 MXU rate)
 PEAK_BF16_FLOPS = 197e12
+PEAK_F32_FLOPS = PEAK_BF16_FLOPS / 2
 PEAK_HBM_BYTES = 819e9
 
 

@@ -200,3 +200,16 @@ class TestDTUCameraDecomposition:
         # K places pixel centers at i+0.5; this framework's convention
         # puts them at integer i — a fixed half-pixel offset
         np.testing.assert_allclose(pix, [u - 0.5, v - 0.5], atol=0.05)
+
+
+class TestPinverse:
+    def test_matches_numpy_pinv(self):
+        from isopoints_tpu.utils.mathutils import pinverse
+        rng = np.random.RandomState(0)
+        # general batch + symmetric PSD batch (the heat-kernel use case)
+        a = rng.randn(4, 5, 5).astype(np.float32)
+        psd = np.einsum("bij,bkj->bik", a, a)
+        for mats in (a, psd):
+            got = np.asarray(pinverse(jnp.asarray(mats)))
+            want = np.linalg.pinv(mats)
+            np.testing.assert_allclose(got, want, atol=1e-3)

@@ -102,7 +102,7 @@ class TestEvaluation:
         gt = (0.5 * d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
         m = evaluate_mesh(verts, faces, gt, n_samples=2000)
         assert m["chamfer_p"] < 2e-3  # res-48 discretization floor
-        assert m["point_face"] < 1e-4
+        assert m["point_face_rev"] < 1e-4  # point-only GT -> reverse direction
 
 
 class TestLightRigs:

@@ -72,7 +72,8 @@ def main():
     state = trainer.init_state()
 
     ckpt = CheckpointIO(out_dir, model=state.params,
-                        opt=state.opt_state, points=state.points)
+                        opt=state.opt_state, points=state.points,
+                        points_mask=state.points_mask)
     it0 = 0
     try:
         scalars = ckpt.load("model.npz")
@@ -80,14 +81,15 @@ def main():
         state = TrainState(params=ckpt.registry["model"],
                            opt_state=ckpt.registry["opt"],
                            points=ckpt.registry["points"],
-                           points_mask=state.points_mask, it=it0)
+                           points_mask=ckpt.registry["points_mask"], it=it0)
         log.info("resumed from it=%d", it0)
     except FileNotFoundError:
         pass
 
     def save(name, **extra):
         ckpt.registry.update(model=state.params, opt=state.opt_state,
-                             points=state.points)
+                             points=state.points,
+                             points_mask=state.points_mask)
         ckpt.save(name, it=state.it, **extra)
 
     from isopoints_tpu.misc.metrics import MetricsWriter
