@@ -200,6 +200,13 @@ class RayTracingConfig:
     # back — bounded work, same result when the unconverged count fits
     # (sphere tracing converges the vast majority).
     sampler_fraction: float = 1.0
+    # two-phase tracing: run `trace_compact_after` full-width sphere-
+    # tracing iterations, then compact still-unfinished rays into a
+    # ceil(frac·N) buffer and finish there. 0 disables. Saves the
+    # straggler iterations' full-width MLP evals (the while_loop only
+    # exits when EVERY ray is done).
+    trace_compact_after: int = 0
+    trace_compact_fraction: float = 0.25
 
 
 def _eval_sdf_chunked(sdf_fn: SDFFn, pts: jax.Array, chunk_rays: int
@@ -261,64 +268,112 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
 
     Parity: RayTracing.sphere_tracing (levelset_sampling.py:920-1032)
     including the line-search backstep on surface crossings.
+
+    With `trace_compact_after` > 0, runs two phases: full-width
+    iterations until the cut, then top_k-compacts still-unfinished
+    rays into a ceil(frac·N) buffer and finishes there — the while_loop
+    only exits when EVERY ray is done, so straggler iterations
+    otherwise pay full-width MLP evals.
     """
     thr = cfg.sdf_threshold
 
-    def eval_at(t):
-        return sdf_fn(cam_loc + t[..., None] * ray_dirs)
+    def make_loop(cam, dirs, start_it: int, max_iters: int):
+        def eval_pair(ts, te):
+            # both fronts in ONE batched eval: halves kernel launches
+            # in the hot loop (matters with the fused Pallas MLP)
+            both = sdf_fn(jnp.concatenate(
+                [cam + ts[..., None] * dirs,
+                 cam + te[..., None] * dirs], axis=-2))
+            n = ts.shape[-1]
+            return both[..., :n], both[..., n:]
 
-    def eval_pair(ts, te):
-        # both fronts in ONE batched eval: halves kernel launches in
-        # the hot loop (matters with the fused Pallas MLP)
-        both = sdf_fn(jnp.concatenate(
-            [cam_loc + ts[..., None] * ray_dirs,
-             cam_loc + te[..., None] * ray_dirs], axis=-2))
-        n = ts.shape[-1]
-        return both[..., :n], both[..., n:]
+        def cond(state):
+            _, _, _, _, un_s, un_e, it = state
+            return (it < max_iters) & (jnp.any(un_s) | jnp.any(un_e))
 
+        def body(state):
+            acc_s, acc_e, sdf_s, sdf_e, un_s, un_e, it = state
+            cur_s = jnp.where(un_s & (sdf_s > thr), sdf_s, 0.0)
+            cur_e = jnp.where(un_e & (sdf_e > thr), sdf_e, 0.0)
+            acc_s = acc_s + cur_s
+            acc_e = acc_e - cur_e
+            new_s, new_e = eval_pair(acc_s, acc_e)
+
+            # line-search backstep where a front crossed inside (sdf<0)
+            def back_step(carry, i):
+                acc_s, acc_e, new_s, new_e = carry
+                scale = (1.0 - cfg.line_search_step) / (2.0 ** i)
+                bs = un_s & (new_s < 0)
+                be = un_e & (new_e < 0)
+                acc_s = jnp.where(bs, acc_s - scale * cur_s, acc_s)
+                acc_e = jnp.where(be, acc_e + scale * cur_e, acc_e)
+                ev_s, ev_e = eval_pair(acc_s, acc_e)
+                new_s = jnp.where(bs, ev_s, new_s)
+                new_e = jnp.where(be, ev_e, new_e)
+                return (acc_s, acc_e, new_s, new_e), None
+
+            (acc_s, acc_e, new_s, new_e), _ = jax.lax.scan(
+                back_step, (acc_s, acc_e, new_s, new_e),
+                jnp.arange(cfg.line_step_iters, dtype=jnp.float32))
+
+            not_crossed = acc_s < acc_e
+            un_s = un_s & (new_s > thr) & not_crossed
+            un_e = un_e & (new_e > thr) & not_crossed
+            return acc_s, acc_e, new_s, new_e, un_s, un_e, it + 1
+
+        def run(state):
+            return jax.lax.while_loop(
+                cond, body, state[:-1] + (jnp.int32(start_it),))
+
+        return run, eval_pair
+
+    run_full, eval_pair = make_loop(cam_loc, ray_dirs, 0,
+                                    min(cfg.trace_compact_after,
+                                        cfg.sphere_tracing_iters)
+                                    if cfg.trace_compact_after > 0
+                                    else cfg.sphere_tracing_iters)
     sdf_start0, sdf_end0 = eval_pair(t_near, t_far)
     sdf_start0 = jnp.where(mask_intersect, sdf_start0, 0.0)
     sdf_end0 = jnp.where(mask_intersect, sdf_end0, 0.0)
-
-    def cond(state):
-        _, _, _, _, un_s, un_e, it = state
-        return (it < cfg.sphere_tracing_iters) & (jnp.any(un_s) | jnp.any(un_e))
-
-    def body(state):
-        acc_s, acc_e, sdf_s, sdf_e, un_s, un_e, it = state
-        cur_s = jnp.where(un_s & (sdf_s > thr), sdf_s, 0.0)
-        cur_e = jnp.where(un_e & (sdf_e > thr), sdf_e, 0.0)
-        acc_s = acc_s + cur_s
-        acc_e = acc_e - cur_e
-        new_s, new_e = eval_pair(acc_s, acc_e)
-
-        # line-search backstep where the front crossed inside (sdf < 0)
-        def back_step(carry, i):
-            acc_s, acc_e, new_s, new_e = carry
-            scale = (1.0 - cfg.line_search_step) / (2.0 ** i)
-            bs = un_s & (new_s < 0)
-            be = un_e & (new_e < 0)
-            acc_s = jnp.where(bs, acc_s - scale * cur_s, acc_s)
-            acc_e = jnp.where(be, acc_e + scale * cur_e, acc_e)
-            ev_s, ev_e = eval_pair(acc_s, acc_e)
-            new_s = jnp.where(bs, ev_s, new_s)
-            new_e = jnp.where(be, ev_e, new_e)
-            return (acc_s, acc_e, new_s, new_e), None
-
-        (acc_s, acc_e, new_s, new_e), _ = jax.lax.scan(
-            back_step, (acc_s, acc_e, new_s, new_e),
-            jnp.arange(cfg.line_step_iters, dtype=jnp.float32))
-
-        not_crossed = acc_s < acc_e
-        un_s = un_s & (new_s > thr) & not_crossed
-        un_e = un_e & (new_e > thr) & not_crossed
-        return acc_s, acc_e, new_s, new_e, un_s, un_e, it + 1
-
     un_s0 = mask_intersect & (sdf_start0 > thr)
     un_e0 = mask_intersect & (sdf_end0 > thr)
-    acc_s, acc_e, sdf_s, sdf_e, un_s, un_e, _ = jax.lax.while_loop(
-        cond, body,
-        (t_near, t_far, sdf_start0, sdf_end0, un_s0, un_e0, jnp.int32(0)))
+    state = run_full((t_near, t_far, sdf_start0, sdf_end0, un_s0, un_e0,
+                      jnp.int32(0)))
+    acc_s, acc_e, sdf_s, sdf_e, un_s, un_e, it = state
+
+    if (cfg.trace_compact_after <= 0
+            or cfg.trace_compact_after >= cfg.sphere_tracing_iters):
+        return acc_s, acc_e, un_s
+
+    # ---- phase 2: compact the stragglers and finish
+    import math as _math
+
+    b, n = un_s.shape
+    cap = max(int(_math.ceil(n * cfg.trace_compact_fraction)), 1)
+    active = un_s | un_e
+    score = active.astype(jnp.float32)
+    _, sel = jax.lax.top_k(score, cap)                       # (B, cap)
+    sel_ok = jnp.take_along_axis(active, sel, axis=1)
+    g2 = lambda a: jnp.take_along_axis(a, sel, axis=1)
+    g3 = lambda a: jnp.take_along_axis(a, sel[..., None], axis=1)
+
+    run_c, _ = make_loop(g3(cam_loc), g3(ray_dirs),
+                         cfg.trace_compact_after, cfg.sphere_tracing_iters)
+    c_state = run_c((g2(acc_s), g2(acc_e), g2(sdf_s), g2(sdf_e),
+                     g2(un_s) & sel_ok, g2(un_e) & sel_ok, it))
+    c_acc_s, c_acc_e, _, _, c_un_s, _, _ = c_state
+
+    def scatter(dst, src):
+        return jax.vmap(
+            lambda d, i, v, ok: d.at[jnp.where(ok, i, n)].set(
+                jnp.where(ok, v, jnp.zeros((), v.dtype)), mode="drop")
+        )(dst, sel, src, sel_ok)
+
+    acc_s = scatter(acc_s, c_acc_s)
+    acc_e = scatter(acc_e, c_acc_e)
+    un_s = scatter(un_s, c_un_s)
+    # overflow beyond capacity keeps its phase-1 state (still unfinished
+    # -> handled by the dense sampler downstream)
     return acc_s, acc_e, un_s
 
 

@@ -226,3 +226,47 @@ class TestSamplerCompaction:
                             training=False)
         np.testing.assert_allclose(np.asarray(full.dists),
                                    np.asarray(chunked.dists), atol=1e-5)
+
+
+class TestTraceCompaction:
+    def test_two_phase_matches_full_when_capacity_suffices(self):
+        f = torus_sdf()
+        cam = jnp.broadcast_to(jnp.array([0.0, 0.0, -2.5]), (1, 128, 3))
+        k = jax.random.key(9)
+        ang = jax.random.uniform(k, (1, 128, 2), minval=-0.3, maxval=0.3)
+        d = jnp.stack([jnp.tan(ang[..., 0]), jnp.tan(ang[..., 1]),
+                       jnp.ones((1, 128))], axis=-1)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        gt = jnp.ones((1, 128), bool)
+        full = ray_trace(f, cam, d, gt, jax.random.key(1),
+                         RayTracingConfig(sphere_tracing_iters=20),
+                         training=False)
+        two = ray_trace(f, cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=20,
+                                         trace_compact_after=4,
+                                         trace_compact_fraction=0.99),
+                        training=False)
+        np.testing.assert_array_equal(np.asarray(full.network_object_mask),
+                                      np.asarray(two.network_object_mask))
+        np.testing.assert_allclose(np.asarray(full.dists),
+                                   np.asarray(two.dists), atol=1e-5)
+
+    def test_small_capacity_still_valid(self):
+        """Overflowing rays keep phase-1 state; traced hits must still
+        satisfy |f| small."""
+        f = sphere_sdf()
+        cam = jnp.broadcast_to(jnp.array([0.0, 0.0, -2.5]), (1, 128, 3))
+        k = jax.random.key(10)
+        ang = jax.random.uniform(k, (1, 128, 2), minval=-0.3, maxval=0.3)
+        d = jnp.stack([jnp.tan(ang[..., 0]), jnp.tan(ang[..., 1]),
+                       jnp.ones((1, 128))], axis=-1)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        gt = jnp.ones((1, 128), bool)
+        res = ray_trace(f, cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=30,
+                                         trace_compact_after=3,
+                                         trace_compact_fraction=0.1),
+                        training=False)
+        hits = np.asarray(res.network_object_mask)
+        assert hits.sum() > 0
+        assert np.abs(np.asarray(f(res.points))[hits]).max() < 1e-3
