@@ -255,3 +255,35 @@ class TestDebugAndResume:
                              it=int(scalars["it"]))
         resumed, metrics = trainer2.train_step(resumed, img, mask, camera)
         assert np.isfinite(metrics["loss"]) and resumed.it == 3
+
+
+class TestSaliencySampling:
+    def test_lossS_path_accumulates_and_resamples(self):
+        """uni_lossS: residuals accumulate on the reference cloud and
+        the next resample uses salient insertion without breaking."""
+        from isopoints_tpu.core.camera import look_at_view_transform
+
+        model = CombinedModel(
+            SirenField(hidden_size=32, n_layers=1),
+            cfg=ImplicitConfig(proj_max_iters=5),
+            combined_cfg=CombinedConfig(max_iso_per_batch=64,
+                                        n_points_per_cloud=128,
+                                        visibility_image_size=16),
+            raster_settings=RasterizationSettings(image_size=16, tile_size=8,
+                                                  max_points_per_tile=64))
+        trainer = MVRTrainer(model, TrainerConfig(
+            n_rays=64, warm_up_iters=0, resample_every=3,
+            n_eikonal_points=64, saliency_sampling=True, n_ref_points=64))
+        state = trainer.init_state()
+        img = jnp.ones((1, 16, 16, 3)) * 0.5
+        mask = jnp.ones((1, 16, 16, 1))
+        R, T = look_at_view_transform([2.0], [0.0], [0.0])
+        camera = PerspectiveCamera.create(R=R, T=T, focal_length=2.0)
+        for _ in range(5):
+            state, metrics = trainer.train_step(state, img, mask, camera)
+            assert np.isfinite(metrics["loss"])
+        # the reference cloud + running stats were populated
+        assert trainer._ref_points is not None
+        assert float(jnp.max(trainer._ref_stat_n)) > 0
+        # and the persisted points remain finite/valid
+        assert np.isfinite(np.asarray(state.points)).all()
