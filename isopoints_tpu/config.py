@@ -30,7 +30,17 @@ class AttrDict(dict):
         self[k] = _wrap(v)
 
     def to_dict(self) -> Dict[str, Any]:
-        return {k: (v.to_dict() if isinstance(v, AttrDict) else v) for k, v in self.items()}
+        return {k: _unwrap(v) for k, v in self.items()}
+
+
+def _unwrap(v):
+    """Invert _wrap recursively (incl. AttrDicts nested in lists, which
+    yaml.safe_dump refuses to represent)."""
+    if isinstance(v, AttrDict):
+        return v.to_dict()
+    if isinstance(v, (list, tuple)):
+        return type(v)(_unwrap(x) for x in v)
+    return v
 
 
 def _wrap(v):

@@ -88,7 +88,9 @@ class PerspectiveCamera:
 
     def view_to_world(self, pts_view: jax.Array) -> jax.Array:
         t = jnp.expand_dims(self.T, axis=tuple(range(1, pts_view.ndim - 1)))
-        return _einsum("b...i,bij->b...j", pts_view - t, jnp.linalg.inv(self.R))
+        # R is orthonormal: R^-1 == R^T (camera_center already assumes it)
+        r_inv = jnp.swapaxes(self.R, -1, -2)
+        return _einsum("b...i,bij->b...j", pts_view - t, r_inv)
 
     def camera_center(self) -> jax.Array:
         """World-space camera centers (B, 3): C = -T @ R^T."""
@@ -128,7 +130,7 @@ class PerspectiveCamera:
         pp = self.principal_point[:, None, :]
         xy_view = (ndc_xy - pp) / fl  # at z=1
         dirs_view = jnp.concatenate([xy_view, jnp.ones_like(xy_view[..., :1])], axis=-1)
-        r_inv = jnp.linalg.inv(self.R)
+        r_inv = jnp.swapaxes(self.R, -1, -2)  # orthonormal R
         dirs_world = _einsum("bni,bij->bnj", dirs_view, r_inv)
         dirs_world = dirs_world / jnp.linalg.norm(dirs_world, axis=-1, keepdims=True)
         return self.camera_center(), dirs_world
@@ -171,9 +173,10 @@ def look_at_view_transform(dist, elev, azim, at=(0.0, 0.0, 0.0),
     if degrees:
         elev = elev * math.pi / 180.0
         azim = azim * math.pi / 180.0
+    # pytorch3d convention: azim=0 places the camera on the +z axis
     x = dist * jnp.cos(elev) * jnp.sin(azim)
     y = dist * jnp.sin(elev)
-    z = -dist * jnp.cos(elev) * jnp.cos(azim)
+    z = dist * jnp.cos(elev) * jnp.cos(azim)
     pos = jnp.stack([x, y, z], axis=-1) + jnp.asarray(at, jnp.float32)
     R = look_at_rotation(pos, at=at)
     T = -_einsum("bi,bij->bj", pos, R)
@@ -193,12 +196,18 @@ class CameraSampler:
         self.camera_params = camera_params or {}
 
     def sample(self, key: jax.Array) -> PerspectiveCamera:
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         lo, hi = self.distance_range
         dist = jax.random.uniform(k1, (self.batch_size,), minval=lo, maxval=hi)
         if self.sort_distance:
             dist = jnp.sort(dist)[::-1]
-        elev = jax.random.uniform(k2, (self.batch_size,), minval=-60.0, maxval=60.0)
-        azim = jax.random.uniform(k3, (self.batch_size,), minval=0.0, maxval=360.0)
-        R, T = look_at_view_transform(dist, elev, azim)
+        # reference ranges (DSS/core/camera.py:35-50): full elevation
+        # sphere, symmetric azimuth, ±0.05 look-at jitter
+        elev = jax.random.uniform(k2, (self.batch_size,), minval=-90.0,
+                                  maxval=90.0)
+        azim = jax.random.uniform(k3, (self.batch_size,), minval=-180.0,
+                                  maxval=180.0)
+        at = jax.random.uniform(k4, (self.batch_size, 3), minval=-0.05,
+                                maxval=0.05)
+        R, T = look_at_view_transform(dist, elev, azim, at=at)
         return PerspectiveCamera.create(R=R, T=T, **self.camera_params)

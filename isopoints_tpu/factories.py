@@ -54,6 +54,11 @@ def create_lights(cfg: AttrDict):
 def create_model(cfg: AttrDict):
     """(config.py:146-249)."""
     mtype = cfg.model.get("type", "combined")
+    if mtype == "point":
+        # the point model has no implicit decoder/texture
+        pcfg = PointModelConfig(**dict(cfg.model.get("point_kwargs", {})))
+        return PointModel(pcfg, create_raster_settings(cfg))
+
     decoder = create_decoder(cfg)
     icfg = ImplicitConfig(**dict(cfg.model.get("implicit_kwargs", {})))
     rendering_net = None
@@ -67,9 +72,6 @@ def create_model(cfg: AttrDict):
         ccfg = CombinedConfig(**dict(cfg.model.get("combined_kwargs", {})))
         return CombinedModel(decoder, rendering_net, icfg, ccfg,
                              raster_settings=create_raster_settings(cfg))
-    if mtype == "point":
-        pcfg = PointModelConfig(**dict(cfg.model.get("point_kwargs", {})))
-        return PointModel(pcfg, create_raster_settings(cfg))
     raise ValueError(f"unknown model type {mtype}")
 
 

@@ -58,26 +58,34 @@ class OccupancyModel:
         return {"decoder": self.decoder.init(key)}
 
     def logits_fn(self, params):
-        """Raw occupancy logits shifted by tau: >0 = inside."""
+        """Occupancy logits shifted by tau: >0 = inside.
+
+        FieldOutput.occupancy carries RAW logits (fields._split_output
+        only squashes rgb; tests/test_fields.py asserts this), so the
+        shift applies directly — no sigmoid inversion.
+        """
         def f(x):
             out = self.decoder.apply(params["decoder"], x)
-            # occupancy head is sigmoid(raw); recover raw via the split
-            # (apply runs sigmoid for the 'occupancy' field) — evaluate
-            # the pre-sigmoid by inverting: logit(p) = log(p/(1-p))
-            p = jnp.clip(out.occupancy[..., 0], 1e-6, 1.0 - 1e-6)
-            return jnp.log(p / (1.0 - p)) - self._tau_logit
+            return out.occupancy[..., 0] - self._tau_logit
         return f
 
     def pixels_to_world(self, params, ndc_pixels: jax.Array,
-                        camera: PerspectiveCamera
+                        camera: PerspectiveCamera,
+                        rays: Optional[Tuple] = None
                         ) -> Tuple[jax.Array, jax.Array]:
         """First out→in crossing on each cube-clipped ray
-        (occupancy_modeling.py:324-364 semantics)."""
+        (occupancy_modeling.py:324-364 semantics). `rays` optionally
+        carries precomputed (entry, exit, hit) so forward() doesn't
+        redo the ray construction + cube intersection."""
         f = self.logits_fn(params)
-        cam_pos = camera.camera_center()[:, None, :]
-        _, dirs = camera.ndc_to_rays(ndc_pixels)
-        entry, exit_, hit = intersection_with_unit_cube(
-            cam_pos, dirs, side_length=self.cfg.object_bounding_sphere * 2)
+        if rays is None:
+            cam_pos = camera.camera_center()[:, None, :]
+            _, dirs = camera.ndc_to_rays(ndc_pixels)
+            entry, exit_, hit = intersection_with_unit_cube(
+                cam_pos, dirs,
+                side_length=self.cfg.object_bounding_sphere * 2)
+        else:
+            entry, exit_, hit = rays
         pts, mask = find_zero_crossing_between_point_pairs(
             f, entry, exit_, n_steps=self.cfg.n_steps,
             n_secant_steps=self.cfg.n_secant_steps, is_occupancy=True)
@@ -89,13 +97,14 @@ class OccupancyModel:
         f = self.logits_fn(params)
         mask_gt = sample_image_at_ndc(mask_img, ndc_pixels,
                                       mode="nearest")[..., 0] > 0.5
-        pts, net_mask = self.pixels_to_world(params, ndc_pixels, camera)
-
-        # candidate points: max-logit point on each ray (most-occupied)
         cam_pos = camera.camera_center()[:, None, :]
         _, dirs = camera.ndc_to_rays(ndc_pixels)
         entry, exit_, hit = intersection_with_unit_cube(
             cam_pos, dirs, side_length=self.cfg.object_bounding_sphere * 2)
+        pts, net_mask = self.pixels_to_world(params, ndc_pixels, camera,
+                                             rays=(entry, exit_, hit))
+
+        # candidate points: max-logit point on each ray (most-occupied)
         steps = jax.random.uniform(key, (self.cfg.n_steps,))
         seg = exit_ - entry
         cand = entry[..., None, :] + steps[:, None] * seg[..., None, :]

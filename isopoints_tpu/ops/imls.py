@@ -103,11 +103,10 @@ def project_to_latent_surface(points: jax.Array, normals: jax.Array,
 
 def pointcloud_to_mesh(points: np.ndarray, normals: np.ndarray,
                        resolution: int = 128, k: int = 8,
-                       padding: float = 0.1,
-                       chunk: int = 65536) -> Tuple[np.ndarray, np.ndarray]:
+                       padding: float = 0.1) -> Tuple[np.ndarray, np.ndarray]:
     """Mesh an oriented point cloud via IMLS + marching tetrahedra
-    (point-model Generator parity). Host-side driver; grid SDF evals
-    run jitted in chunks."""
+    (point-model Generator parity). Grid evaluation chunking is handled
+    by utils.meshing.eval_sdf_grid."""
     pts = jnp.asarray(points, jnp.float32)[None]
     nrm = jnp.asarray(normals, jnp.float32)[None]
     lo = np.asarray(points).min(axis=0) - padding

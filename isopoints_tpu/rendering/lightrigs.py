@@ -40,10 +40,13 @@ def get_tri_color_lights_for_view(camera: PerspectiveCamera,
     specular = (np.full((b, 3, 3), 0.2, np.float32) if has_specular
                 else np.zeros((b, 3, 3), np.float32))
     if point_lights:
-        center = np.asarray(camera.camera_center())[:, None, :]
-        location = center + dirs_world * 3.0
+        # anchored at the SCENE center like the reference (common.py:85:
+        # locations = light_directions * 5 from the origin), not at the
+        # camera — a camera-anchored rim light would land in front of
+        # the object
         return PointLights.create(ambient_color=ambient, diffuse_color=colors,
-                                  specular_color=specular, location=location)
+                                  specular_color=specular,
+                                  location=dirs_world * 5.0)
     return DirectionalLights.create(ambient_color=ambient,
                                     diffuse_color=colors,
                                     specular_color=specular,
@@ -64,10 +67,9 @@ def get_light_for_view(camera: PerspectiveCamera, has_specular: bool = True,
     specular = (np.full((b, 1, 3), 0.3, np.float32) if has_specular
                 else np.zeros((b, 1, 3), np.float32))
     if point_lights:
-        center = np.asarray(camera.camera_center())[:, None, :]
         return PointLights.create(ambient_color=ambient, diffuse_color=diffuse,
                                   specular_color=specular,
-                                  location=center + dirs_world * 3.0)
+                                  location=dirs_world * 5.0)
     return DirectionalLights.create(ambient_color=ambient,
                                     diffuse_color=diffuse,
                                     specular_color=specular,

@@ -157,7 +157,11 @@ class MVRTrainer:
 
     # ---------------------------------------------------------------
     def _jitted_step(self, project: bool, n_rays: int, image_size: Tuple[int, int]):
-        cache_key = (project, n_rays, image_size)
+        from isopoints_tpu.debug import get_debugging_mode
+
+        # tap_grad gates at TRACE time: include the debug flag in the
+        # cache key so toggling debugging re-traces with/without taps
+        cache_key = (project, n_rays, image_size, get_debugging_mode())
         if cache_key in self._step_cache:
             return self._step_cache[cache_key]
 

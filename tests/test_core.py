@@ -145,9 +145,10 @@ def test_config_inheritance(tmp_path):
 def test_camera_sampler():
     cams = CameraSampler(batch_size=4, distance_range=(2.0, 4.0)).sample(jax.random.key(0))
     assert cams.batch_size == 4
-    # all look roughly at origin: origin should project near ndc center
+    # all look roughly at origin: origin projects near the ndc center,
+    # within the reference's ±0.05 look-at jitter (DSS camera.py:35-50)
     ndc = cams.project_ndc(jnp.zeros((4, 1, 3)))
-    assert float(jnp.abs(ndc[..., :2]).max()) < 1e-4
+    assert float(jnp.abs(ndc[..., :2]).max()) < 0.06
     d = np.linalg.norm(np.asarray(cams.camera_center()), axis=-1)
     assert (d >= 2.0 - 1e-5).all() and (d <= 4.0 + 1e-5).all()
 

@@ -226,7 +226,8 @@ class TestOccupancyModel:
         from isopoints_tpu.models.occupancy import OccupancyConfig, OccupancyModel
 
         class AnalyticOccDecoder:
-            """occupancy = sigmoid(alpha*(r0 - |x|)): inside-high."""
+            """occupancy field returns RAW logits (fields convention:
+            _split_output does not squash occupancy): inside-high."""
             def init(self, key):
                 return {"r": jnp.asarray(0.5)}
 
@@ -234,7 +235,7 @@ class TestOccupancyModel:
                 from isopoints_tpu.models.fields import FieldOutput
                 logits = 20.0 * (params["r"] - jnp.linalg.norm(
                     x, axis=-1, keepdims=True))
-                return FieldOutput(occupancy=jax.nn.sigmoid(logits))
+                return FieldOutput(occupancy=logits)
 
         self.model = OccupancyModel(AnalyticOccDecoder())
         self.params = self.model.init(jax.random.key(0))
