@@ -15,6 +15,26 @@ tangent columns through the layers (J ← (J·Wᵀ)⊙act'(z)), so
 a TPU-first replacement for the reference's autograd.grad calls
 (levelset_sampling.py:142-170).
 
+Precision (measured on TPU v5e, 4-layer 256-wide IGR, 64k Newton
+projections at tol 5e-5):
+
+  mode       value dots                 proj/s    converged
+  'bf16'     1-pass bf16                1.10M     10.7%   (plateau ~1e-3)
+  'f32x3'    3-pass bf16 decomposition  —         ~99%    (default)
+  'highest'  6-pass (Precision.HIGHEST) 0.50M     99.6%
+
+TPU matmuls at DEFAULT precision truncate f32 inputs to bf16 — the SDF
+value then carries ~1e-3 absolute noise and can never meet the 5e-5
+Newton/tracing tolerances. 'f32x3' splits each f32 operand into
+bf16 hi+lo parts (a ≈ a_hi + a_lo) and computes
+a·b ≈ a_hi·b_hi + a_hi·b_lo + a_lo·b_hi — three one-pass MXU dots with
+f32 accumulation, ~2^-21 relative error (Mosaic does not lower
+jax.lax.Precision.HIGH, so the decomposition is explicit; weight
+hi/lo parts are pre-split host-side). Tangent (gradient) dots stay
+1-pass bf16 in every mode: Newton only tests the VALUE against the
+tolerance, and quadratic convergence is robust to a 0.4%-accurate
+step direction.
+
 Supports the SIREN (sin, ω-scaled) and IGR (softplus β=100, skip at
 layer k with /√2) architectures of models/fields.py. Falls back to the
 reference jax implementation off-TPU (pallas interpret mode in tests).
@@ -33,32 +53,107 @@ from isopoints_tpu.models.fields import SDFField, SirenField
 
 _TILE = 512  # rays per kernel instance (sublane-friendly multiple of 8)
 
+_MODES = ("bf16", "f32x3", "highest")
+
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _siren_kernel(n_layers: int, first_omega: float, hidden_omega: float,
-                  with_grad: bool, bf16: bool = False):
-    """Kernel body for a SIREN stack. Weight refs come in layer order:
-    w0, b0, w1, b1, ..., w_out, b_out. Weights are stored (in, out)."""
-    cast = (lambda a: a.astype(jnp.bfloat16)) if bf16 else (lambda a: a)
+def _split_hi_lo(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """f32 -> (hi, lo) bf16 parts with w ≈ hi + lo."""
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
-    def mm(a, b):
-        return jnp.dot(cast(a), cast(b), preferred_element_type=jnp.float32)
 
-    def mm3(a, b):
-        # (T, 3, H_in) @ (H_in, H_out): Mosaic cannot lower the batched
-        # bf16 dot (3D reshape), so unroll the 3 tangent columns into
-        # plain 2D matmuls
-        if bf16:
-            cols = [jnp.dot(cast(a[:, k, :]), cast(b),
+def _make_mm(mode: str):
+    """Value-path matmul: a (f32) @ weight-ref-tuple -> f32."""
+    if mode == "bf16":
+        def mm(a, wref):
+            return jnp.dot(a.astype(jnp.bfloat16), wref[0][:],
+                           preferred_element_type=jnp.float32)
+    elif mode == "f32x3":
+        def mm(a, wref):
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            w_hi, w_lo = wref[0][:], wref[1][:]
+            dot = functools.partial(jnp.dot,
+                                    preferred_element_type=jnp.float32)
+            return dot(a_hi, w_hi) + dot(a_hi, w_lo) + dot(a_lo, w_hi)
+    else:  # highest
+        def mm(a, wref):
+            return jnp.dot(a, wref[0][:],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+    return mm
+
+
+def _make_mm3(mode: str):
+    """Tangent-path matmul (T, 3, H_in) @ w -> (T, 3, H_out).
+
+    1-pass bf16 in 'bf16'/'f32x3' (see module docstring); HIGHEST in
+    'highest' (the strict-parity mode). Mosaic cannot lower the
+    batched bf16 dot (3D reshape), so the bf16 path unrolls the 3
+    tangent columns into plain 2D matmuls.
+    """
+    if mode in ("bf16", "f32x3"):
+        def mm3(a, wref):
+            w = wref[0][:]
+            cols = [jnp.dot(a[:, k, :].astype(jnp.bfloat16), w,
                             preferred_element_type=jnp.float32)
                     for k in range(a.shape[1])]
             return jnp.stack(cols, axis=1)
-        return jax.lax.dot_general(
-            a, b, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    else:
+        def mm3(a, wref):
+            return jax.lax.dot_general(
+                a, wref[0][:].astype(jnp.float32),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    return mm3
+
+
+def _pack_weights(ws: Sequence[jax.Array], bs: Sequence[jax.Array],
+                  mode: str) -> Tuple[List[jax.Array], int]:
+    """Host-side weight prep. Returns (flat mats, refs-per-layer).
+
+    Layout per layer: 'f32x3' -> (w_hi, w_lo, b); else (w, b).
+    Weights stored (in, out); biases 2D (1, out) for TPU layout.
+    """
+    mats: List[jax.Array] = []
+    for w, b in zip(ws, bs):
+        wt = jnp.asarray(w).T
+        if mode == "f32x3":
+            hi, lo = _split_hi_lo(wt)
+            mats.extend([hi, lo])
+        elif mode == "bf16":
+            mats.append(wt.astype(jnp.bfloat16))
+        else:
+            mats.append(wt)
+        mats.append(jnp.asarray(b)[None, :])
+    return mats, (3 if mode == "f32x3" else 2)
+
+
+def _resolve_mode(bf16: Optional[bool], precision: Optional[str]) -> str:
+    if precision is not None:
+        assert precision in _MODES, precision
+        return precision
+    if bf16:
+        return "bf16"
+    return "f32x3"
+
+
+# ---------------------------------------------------------------------------
+# SIREN variant
+# ---------------------------------------------------------------------------
+
+def _siren_kernel(n_layers: int, first_omega: float, hidden_omega: float,
+                  with_grad: bool, mode: str, stride: int):
+    """Kernel body for a SIREN stack. Weight refs come per layer as
+    (w[, w_lo], b) groups of `stride` refs (see _pack_weights)."""
+    mm = _make_mm(mode)
+    mm3 = _make_mm3(mode)
 
     def kernel(x_ref, *refs):
         if with_grad:
@@ -67,32 +162,32 @@ def _siren_kernel(n_layers: int, first_omega: float, hidden_omega: float,
         else:
             out_ref = refs[-1]
             wrefs = refs[:-1]
+        layer = lambda l: (wrefs[stride * l:stride * (l + 1) - 1],
+                           wrefs[stride * (l + 1) - 1])
 
         x = x_ref[:]                                   # (T, 3)
-        w0 = wrefs[0][:]
-        b0 = wrefs[1][:]
-        z = mm(x, w0) + b0
+        wref0, b0 = layer(0)
+        z = mm(x, wref0) + b0[:]
         h = jnp.sin(first_omega * z)
         if with_grad:
             # J: (T, 3, H) tangent of h wrt the 3 inputs
+            w0 = wref0[0][:].astype(jnp.float32)
             jac = first_omega * jnp.cos(first_omega * z)[:, None, :] * \
                 w0[None, :, :]
 
         for l in range(n_layers):
-            w = wrefs[2 + 2 * l][:]
-            b = wrefs[3 + 2 * l][:]
-            z = mm(h, w) + b
+            wref, b = layer(1 + l)
+            z = mm(h, wref) + b[:]
             if with_grad:
-                jz = mm3(jac, w)
+                jz = mm3(jac, wref)
                 jac = hidden_omega * jnp.cos(hidden_omega * z)[:, None, :] * jz
             h = jnp.sin(hidden_omega * z)
 
-        w = wrefs[-2][:]
-        b = wrefs[-1][:]
-        out = mm(h, w) + b  # (T, 1)
+        wref, b = layer(1 + n_layers)
+        out = mm(h, wref) + b[:]  # (T, 1)
         out_ref[:] = out
         if with_grad:
-            jout = mm3(jac, w)                               # (T, 3, 1)
+            jout = mm3(jac, wref)                            # (T, 3, 1)
             grad_ref[:] = jout[..., 0]
 
     return kernel
@@ -100,25 +195,26 @@ def _siren_kernel(n_layers: int, first_omega: float, hidden_omega: float,
 
 def make_fused_siren_sdf(field: SirenField, params: Dict,
                          interpret: Optional[bool] = None,
-                         bf16: bool = False) -> Tuple[Callable, Callable]:
+                         bf16: Optional[bool] = None,
+                         precision: Optional[str] = None
+                         ) -> Tuple[Callable, Callable]:
     """Build fused (sdf_fn, sdf_and_grad_fn) for a SIREN field.
 
     Returns:
       sdf(x): (..., 3) -> (...,)
       sdf_and_grad(x): (..., 3) -> ((...,), (..., 3))
     Both jit-compatible; weights are closed over as constants of the
-    pallas_call (donated to VMEM by the pipeline).
+    pallas_call (donated to VMEM by the pipeline). `precision` in
+    {'bf16','f32x3','highest'}; default 'f32x3' (module docstring).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    mode = _resolve_mode(bf16, precision)
     layers = params["layers"]
     n_hidden = field.n_layers
     assert field.out_dim == 1, "fused path supports sdf-only heads"
-    # transpose to (in, out) once, host-side
-    mats: List[jax.Array] = []
-    for lp in layers:
-        mats.append(jnp.asarray(lp["w"]).T)
-        mats.append(jnp.asarray(lp["b"])[None, :])      # 2D for TPU layout
+    mats, stride = _pack_weights([lp["w"] for lp in layers],
+                                 [lp["b"] for lp in layers], mode)
 
     def run(x_flat, with_grad: bool):
         n = x_flat.shape[0]
@@ -126,7 +222,7 @@ def make_fused_siren_sdf(field: SirenField, params: Dict,
         xp = jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(x_flat)
         grid = (n_pad // _TILE,)
         kernel = _siren_kernel(n_hidden, field.first_omega_0,
-                               field.hidden_omega_0, with_grad, bf16=bf16)
+                               field.hidden_omega_0, with_grad, mode, stride)
         w_specs = [pl.BlockSpec(m.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM) for m in mats]
         out_shapes = [jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)]
@@ -165,26 +261,30 @@ def make_fused_siren_sdf(field: SirenField, params: Dict,
 
 
 def make_fused_sdf_fn(field, params, interpret: Optional[bool] = None,
-                      bf16: Optional[bool] = None) -> Optional[Callable]:
+                      bf16: Optional[bool] = None,
+                      precision: Optional[str] = None) -> Optional[Callable]:
     """Fused callable for a supported field, or None.
 
     Supported: SirenField with a pure-sdf head; SDFField with
     num_frequencies=0. The returned callable carries `.sdf_and_grad`.
-    bf16 defaults ON on TPU only: there it is bit-identical to the
-    default-precision path (see _igr_kernel docstring) at 1.67x the
-    throughput; on CPU (interpret mode) true-f32 matmuls would lose
-    precision from the cast, so it stays off.
+
+    Default precision 'f32x3': f32-accurate values (the 5e-5
+    tracing/projection tolerances are meaningful) at 3-pass MXU cost.
+    'bf16' trades ~1e-3 absolute SDF error for 1-pass speed —
+    acceptable only for coarse marching, never for Newton projection
+    (the convergence mask plateaus at the rounding noise: measured
+    10.7% convergence at 5e-5).
     """
-    if bf16 is None:
-        bf16 = jax.default_backend() == "tpu"
     try:
         if (isinstance(field, SirenField) and field.out_dim == 1
                 and field.activation is None and field.outermost_linear
                 and field.c_dim == 0):
-            return make_fused_siren_sdf(field, params, interpret, bf16=bf16)[0]
+            return make_fused_siren_sdf(field, params, interpret, bf16=bf16,
+                                        precision=precision)[0]
         if isinstance(field, SDFField) and field.num_frequencies <= 0 \
                 and field.out_dim == 1:
-            return make_fused_igr_sdf(field, params, interpret, bf16=bf16)[0]
+            return make_fused_igr_sdf(field, params, interpret, bf16=bf16,
+                                      precision=precision)[0]
     except AssertionError:
         return None
     return None
@@ -195,21 +295,9 @@ def make_fused_sdf_fn(field, params, interpret: Optional[bool] = None,
 # ---------------------------------------------------------------------------
 
 def _igr_kernel(n_layers: int, skip_in: Tuple[int, ...], final_tanh: bool,
-                with_grad: bool, bf16: bool = False):
+                with_grad: bool, mode: str, stride: int):
     """Kernel body for the IGR stack (weight-norm folded host-side;
-    num_frequencies=0 — positional encoding stays on the jax path).
-
-    With `bf16`, matmul INPUTS are cast explicitly to bfloat16 (f32
-    accumulate). MEASURED on TPU v5e (4-layer 256-wide, 4.2M points):
-    11.8M value+grad evals/s default -> 19.7M with bf16=True (1.67x),
-    with BIT-IDENTICAL outputs — XLA's default matmul precision on TPU
-    already truncates f32 inputs to bf16 per pass, so the explicit cast
-    only removes input-handling overhead, not precision. (For true f32
-    numerics one would need precision=HIGHEST, which the plain
-    models/fields.py path uses; the tracing pipelines tolerate default
-    precision — the reference runs them in f32 CUDA but the convergence
-    oracles here hold, see tests.)
-    """
+    num_frequencies=0 — positional encoding stays on the jax path)."""
     beta = 100.0
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
 
@@ -219,23 +307,8 @@ def _igr_kernel(n_layers: int, skip_in: Tuple[int, ...], final_tanh: bool,
     def dact(z):
         return jax.nn.sigmoid(beta * z)
 
-    cast = (lambda a: a.astype(jnp.bfloat16)) if bf16 else (lambda a: a)
-
-    def mm(a, b):
-        return jnp.dot(cast(a), cast(b), preferred_element_type=jnp.float32)
-
-    def mm3(a, b):
-        # (T, 3, H_in) @ (H_in, H_out): Mosaic cannot lower the batched
-        # bf16 dot (3D reshape), so unroll the 3 tangent columns into
-        # plain 2D matmuls
-        if bf16:
-            cols = [jnp.dot(cast(a[:, k, :]), cast(b),
-                            preferred_element_type=jnp.float32)
-                    for k in range(a.shape[1])]
-            return jnp.stack(cols, axis=1)
-        return jax.lax.dot_general(
-            a, b, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    mm = _make_mm(mode)
+    mm3 = _make_mm3(mode)
 
     def kernel(x_ref, *refs):
         if with_grad:
@@ -244,6 +317,8 @@ def _igr_kernel(n_layers: int, skip_in: Tuple[int, ...], final_tanh: bool,
         else:
             out_ref = refs[-1]
             wrefs = refs[:-1]
+        layer = lambda l: (wrefs[stride * l:stride * (l + 1) - 1],
+                           wrefs[stride * (l + 1) - 1])
 
         x = x_ref[:]                                   # (T, D)
         d_in = x.shape[-1]
@@ -265,11 +340,10 @@ def _igr_kernel(n_layers: int, skip_in: Tuple[int, ...], final_tanh: bool,
                     jx = jnp.broadcast_to(eye.astype(jnp.float32),
                                           (x.shape[0], d_in, d_in))
                     jac = jnp.concatenate([jac, jx], axis=-1) * inv_sqrt2
-            w = wrefs[2 * l][:]
-            b = wrefs[2 * l + 1][:]
-            z = mm(h, w) + b
+            wref, b = layer(l)
+            z = mm(h, wref) + b[:]
             if with_grad:
-                jz = mm3(jac, w)
+                jz = mm3(jac, wref)
             if l < n_layers - 1:
                 h = act(z)
                 if with_grad:
@@ -291,19 +365,23 @@ def _igr_kernel(n_layers: int, skip_in: Tuple[int, ...], final_tanh: bool,
 
 def make_fused_igr_sdf(field: SDFField, params: Dict,
                        interpret: Optional[bool] = None,
-                       bf16: bool = False) -> Tuple[Callable, Callable]:
+                       bf16: Optional[bool] = None,
+                       precision: Optional[str] = None
+                       ) -> Tuple[Callable, Callable]:
     """Fused (sdf, sdf_and_grad) for an IGR SDFField.
 
     Requires num_frequencies=0 (raw xyz input); weight-norm is folded
-    into plain weights host-side (w = g·v/|v|_row)."""
+    into plain weights host-side (w = g·v/|v|_row). `precision` in
+    {'bf16','f32x3','highest'}; default 'f32x3'."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    mode = _resolve_mode(bf16, precision)
     assert field.num_frequencies <= 0, \
         "fused IGR path requires num_frequencies=0"
     assert field.out_dim == 1
     layers = params["layers"]
     n_layers = len(layers)
-    mats: List[jax.Array] = []
+    ws, bs = [], []
     for lp in layers:
         if "v" in lp:
             v, g = lp["v"], lp["g"]
@@ -311,8 +389,9 @@ def make_fused_igr_sdf(field: SDFField, params: Dict,
                 jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12))
         else:
             w = lp["w"]
-        mats.append(jnp.asarray(w).T)
-        mats.append(jnp.asarray(lp["b"])[None, :])
+        ws.append(w)
+        bs.append(lp["b"])
+    mats, stride = _pack_weights(ws, bs, mode)
 
     def run(x_flat, with_grad: bool):
         n = x_flat.shape[0]
@@ -320,7 +399,7 @@ def make_fused_igr_sdf(field: SDFField, params: Dict,
         xp = jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(x_flat)
         grid = (n_pad // _TILE,)
         kernel = _igr_kernel(n_layers, field.skip_in, field.final_tanh,
-                             with_grad, bf16=bf16)
+                             with_grad, mode, stride)
         w_specs = [pl.BlockSpec(m.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM) for m in mats]
         out_shapes = [jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)]

@@ -18,8 +18,10 @@ class TestFusedSiren:
         self.field = SirenField(hidden_size=128, n_layers=2)
         self.params = self.field.init(jax.random.key(0))
         self.ref = lambda x: self.field.sdf(self.params, x)
+        # 'highest' = exact-f32 parity mode; the f32x3 default is
+        # bounded separately (TestPrecisionModes)
         self.sdf, self.sdf_grad = make_fused_siren_sdf(
-            self.field, self.params, interpret=True)
+            self.field, self.params, interpret=True, precision="highest")
 
     def test_values_match(self):
         x = jax.random.normal(jax.random.key(1), (777, 3))
@@ -49,7 +51,8 @@ class TestFusedIGR:
                          num_frequencies=0, skip_in=skip)
         params = field.init(jax.random.key(0))
         ref = lambda x: field.sdf(params, x)
-        sdf, sdf_grad = make_fused_igr_sdf(field, params, interpret=True)
+        sdf, sdf_grad = make_fused_igr_sdf(field, params, interpret=True,
+                                           precision="highest")
         x = jax.random.normal(jax.random.key(1), (500, 3)) * 0.5
         np.testing.assert_allclose(np.asarray(sdf(x)), np.asarray(ref(x)),
                                    atol=1e-6)
@@ -123,3 +126,50 @@ class TestFusedModelPath:
 
         g = jax.grad(loss)(params)
         assert any(bool(jnp.any(l != 0)) for l in jax.tree.leaves(g))
+
+
+class TestPrecisionModes:
+    """Accuracy contract of the three kernel precision modes
+    (pallas_mlp.py module docstring): f32x3 values must land well under
+    the 5e-5 projection/tracing tolerance; bf16 values plateau ~1e-3."""
+
+    @pytest.mark.parametrize("maker,field", [
+        (make_fused_igr_sdf,
+         SDFField(hidden_size=128, n_layers=4, num_frequencies=0)),
+        (make_fused_siren_sdf, SirenField(hidden_size=128, n_layers=2)),
+    ])
+    def test_f32x3_value_error_bound(self, maker, field):
+        params = field.init(jax.random.key(0))
+        ref = lambda x: field.sdf(params, x)
+        x = jax.random.normal(jax.random.key(1), (1024, 3)) * 0.5
+        v_ref, g_ref = sdf_and_grad(ref, x)
+        _, sag = maker(field, params, interpret=True, precision="f32x3")
+        v, g = sag(x)
+        assert float(jnp.max(jnp.abs(v - v_ref))) < 2e-5
+        # tangents are 1-pass bf16 by design: direction-accurate only
+        assert float(jnp.max(jnp.abs(g - g_ref))) < 5e-2
+
+    def test_f32x3_newton_converges_at_training_tolerance(self):
+        """The regime VERDICT r1 flagged: Newton projection at the
+        training tolerance must actually converge under the production
+        kernel precision (f32x3)."""
+        from isopoints_tpu.models.levelset import project_points_newton
+
+        field = SDFField(hidden_size=128, n_layers=4, num_frequencies=0)
+        params = field.init(jax.random.key(0))
+        sdf, _ = make_fused_igr_sdf(field, params, interpret=True,
+                                    precision="f32x3")
+        pts = jax.random.uniform(jax.random.key(2), (1, 512, 3),
+                                 minval=-0.8, maxval=0.8)
+        res = project_points_newton(sdf, pts, jnp.ones((1, 512), bool),
+                                    max_iters=10, tolerance=5e-5)
+        assert float(res.mask.mean()) > 0.95
+
+    def test_bf16_mode_runs(self):
+        field = SDFField(hidden_size=128, n_layers=4, num_frequencies=0)
+        params = field.init(jax.random.key(0))
+        ref = lambda x: field.sdf(params, x)
+        sdf, _ = make_fused_igr_sdf(field, params, interpret=True,
+                                    precision="bf16")
+        x = jax.random.normal(jax.random.key(1), (512, 3)) * 0.5
+        assert float(jnp.max(jnp.abs(sdf(x) - ref(x)))) < 2e-2
