@@ -166,7 +166,18 @@ def fit_point_cloud(points: np.ndarray, normals: Optional[np.ndarray],
     mask = jnp.ones((1, p_total), dtype=bool)
 
     if normals is None:
-        res = knn_points(pts, pts, mask, mask, k=16)
+        if p_total > 32768:
+            # raw-scan scale (DTU ~1M points): dense O(P²) kNN is off
+            # the table — grid-bucketed FRNN with the reference's
+            # density radius (levelset_sampling.py:129-131
+            # search_radius = sqrt(diag/N)*k)
+            diag = float(jnp.linalg.norm(jnp.max(pts[0], axis=0)
+                                         - jnp.min(pts[0], axis=0)))
+            r = math.sqrt(diag / p_total) * 16.0
+            res = radius_search(pts, pts, r, mask, mask, k=16,
+                                method="grid", max_per_cell=128)
+        else:
+            res = knn_points(pts, pts, mask, mask, k=16)
         nn = knn_gather(pts, res.idx)
         nrm = frame_normals(pts, nn, res.mask)
     else:

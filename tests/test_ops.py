@@ -228,3 +228,91 @@ class TestRIMLSProjection:
         r_after = np.abs(np.linalg.norm(np.asarray(out[0]), axis=-1) - 0.5)
         # projection pulls points toward the latent sphere
         assert r_after.mean() < r_before.mean() * 0.75
+
+
+# ---------------------------------------------------------------------------
+# Grid-hash fixed-radius search (FRNN replacement, VERDICT r1 item 4)
+# ---------------------------------------------------------------------------
+
+class TestGridRadiusSearch:
+    def _check_parity(self, q, p, radius, k, qmask=None, pmask=None,
+                      exclude_self=False, max_per_cell=64):
+        from isopoints_tpu.ops.neighbors import grid_radius_search
+
+        dense = radius_search(jnp.asarray(q), jnp.asarray(p), radius,
+                              None if qmask is None else jnp.asarray(qmask),
+                              None if pmask is None else jnp.asarray(pmask),
+                              k=k, method="dense", exclude_self=exclude_self)
+        grid = grid_radius_search(jnp.asarray(q), jnp.asarray(p), radius,
+                                  None if qmask is None else jnp.asarray(qmask),
+                                  None if pmask is None else jnp.asarray(pmask),
+                                  k=k, max_per_cell=max_per_cell,
+                                  exclude_self=exclude_self)
+        np.testing.assert_array_equal(np.asarray(dense.mask),
+                                      np.asarray(grid.mask))
+        # distances ascending + identical (ties may permute idx; the
+        # distance multiset is the invariant)
+        np.testing.assert_allclose(np.asarray(dense.dists),
+                                   np.asarray(grid.dists), rtol=1e-5,
+                                   atol=1e-6)
+        # every returned idx really is within radius and matches its dist
+        gi = np.asarray(grid.idx)
+        gm = np.asarray(grid.mask)
+        gd = np.asarray(grid.dists)
+        for b in range(q.shape[0]):
+            sel = gm[b]
+            d_check = np.sum(
+                (q[b][:, None] - p[b][np.maximum(gi[b], 0)]) ** 2, -1)
+            np.testing.assert_allclose(d_check[sel], gd[b][sel], rtol=1e-5,
+                                       atol=1e-6)
+            assert (d_check[sel] <= radius * radius + 1e-6).all()
+
+    def test_matches_dense_small(self, rng):
+        q = rng.rand(2, 257, 3).astype(np.float32)
+        p = rng.rand(2, 511, 3).astype(np.float32)
+        self._check_parity(q, p, radius=0.15, k=6)
+
+    def test_matches_dense_10k(self, rng):
+        q = rng.rand(1, 4096, 3).astype(np.float32)
+        p = rng.rand(1, 10_000, 3).astype(np.float32)
+        # ~10k pts in unit cube, r=0.08 -> ~5 pts/cell: C=64 exact
+        self._check_parity(q, p, radius=0.08, k=8)
+
+    def test_masked(self, rng):
+        q = rng.rand(2, 64, 3).astype(np.float32)
+        p = rng.rand(2, 200, 3).astype(np.float32)
+        pmask = rng.rand(2, 200) > 0.4
+        qmask = rng.rand(2, 64) > 0.3
+        self._check_parity(q, p, radius=0.2, k=5, qmask=qmask, pmask=pmask)
+
+    def test_exclude_self(self, rng):
+        p = rng.rand(1, 300, 3).astype(np.float32)
+        self._check_parity(p, p, radius=0.2, k=4, exclude_self=True)
+
+    def test_auto_dispatch_threshold(self, rng):
+        # >32768 database points routes to the grid path
+        q = rng.rand(1, 128, 3).astype(np.float32)
+        p = rng.rand(1, 33_000, 3).astype(np.float32)
+        res = radius_search(jnp.asarray(q), jnp.asarray(p), 0.05, k=4)
+        assert bool(res.mask.any())
+        gi = np.asarray(res.idx)
+        gm = np.asarray(res.mask)
+        d = np.sum((q[0][:, None] - p[0][np.maximum(gi[0], 0)]) ** 2, -1)
+        assert (d[gm[0]] <= 0.05 ** 2 + 1e-6).all()
+
+    @pytest.mark.slow
+    def test_large_cloud_200k(self, rng):
+        """2e5-point cloud on CPU: the regime the dense path cannot
+        serve (VERDICT r1: DTU-scan scale)."""
+        from isopoints_tpu.ops.neighbors import grid_radius_search
+
+        p = rng.rand(1, 200_000, 3).astype(np.float32)
+        q = p[:, :8192]
+        res = grid_radius_search(jnp.asarray(q), jnp.asarray(p), 0.02, k=8,
+                                 exclude_self=True)
+        res.dists.block_until_ready()
+        gm = np.asarray(res.mask)
+        assert gm.any(axis=-1).mean() > 0.95  # dense cloud: neighbors exist
+        gi = np.asarray(res.idx)
+        d = np.sum((q[0][:, None] - p[0][np.maximum(gi[0], 0)]) ** 2, -1)
+        assert (d[gm[0]] <= 0.02 ** 2 + 1e-6).all()

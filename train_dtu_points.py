@@ -62,7 +62,10 @@ def main():
     parser.add_argument("--total-iters", type=int, default=2000)
     parser.add_argument("--warm-up", type=int, default=200)
     parser.add_argument("--resample-every", type=int, default=500)
-    parser.add_argument("--n-points", type=int, default=20000)
+    parser.add_argument("--n-points", type=int, default=0,
+                        help="optional random subsample; 0 = keep the "
+                             "full cloud (grid FRNN scales to raw "
+                             "DTU-scan size)")
     parser.add_argument("--n-iso-points", type=int, default=4000)
     parser.add_argument("--batch-size", type=int, default=5000)
     parser.add_argument("--weight-mode", type=int, default=1,
