@@ -232,6 +232,14 @@ class RayTraceResult(NamedTuple):
     network_object_mask: jax.Array  # (B, N) ray hits the implicit surface
     mask_intersect: jax.Array      # (B, N) ray intersects bounding sphere
     sampler_mask: jax.Array        # (B, N) handled by the dense sampler
+    # static-capacity compaction overflow counters (scalar int32): rays
+    # beyond `trace_compact_fraction` capacity in the phase-2 straggler
+    # trace (kept at phase-1 state) and beyond `sampler_fraction`
+    # capacity in the dense sampler (treated as non-surface). Non-zero
+    # counts mean the capacities silently degrade quality — monitor
+    # them (trainer metrics `overflow_trace` / `overflow_sampler`).
+    trace_overflow: jax.Array = None
+    sampler_overflow: jax.Array = None
 
 
 def _secant_scan(sdf_fn: SDFFn, f_low, f_high, z_low, z_high, origins, dirs,
@@ -341,9 +349,10 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
                       jnp.int32(0)))
     acc_s, acc_e, sdf_s, sdf_e, un_s, un_e, it = state
 
+    no_overflow = jnp.zeros((), jnp.int32)
     if (cfg.trace_compact_after <= 0
             or cfg.trace_compact_after >= cfg.sphere_tracing_iters):
-        return acc_s, acc_e, un_s
+        return acc_s, acc_e, un_s, no_overflow
 
     # ---- phase 2: compact the stragglers and finish
     import math as _math
@@ -373,8 +382,11 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
     acc_e = scatter(acc_e, c_acc_e)
     un_s = scatter(un_s, c_un_s)
     # overflow beyond capacity keeps its phase-1 state (still unfinished
-    # -> handled by the dense sampler downstream)
-    return acc_s, acc_e, un_s
+    # -> handled by the dense sampler downstream); count it (top_k takes
+    # active rays first, so per row: active_count - cap, clamped)
+    n_active = jnp.sum(active.astype(jnp.int32), axis=1)
+    overflow = jnp.sum(jnp.maximum(n_active - cap, 0))
+    return acc_s, acc_e, un_s, overflow
 
 
 def _dense_ray_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
@@ -461,13 +473,14 @@ def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
     t_near = jnp.sum((near - cam_loc) * ray_dirs, axis=-1)
     t_far = jnp.sum((far - cam_loc) * ray_dirs, axis=-1)
 
-    acc_s, acc_e, unfinished = _bidirectional_sphere_trace(
+    acc_s, acc_e, unfinished, trace_overflow = _bidirectional_sphere_trace(
         sdf_fn, cam_loc, ray_dirs, mask_intersect, t_near, t_far, cfg)
 
     dists = jnp.where(mask_intersect, acc_s, 0.0)
     network_object_mask = (acc_s < acc_e) & mask_intersect
 
     sampler_mask = unfinished
+    sampler_overflow = jnp.zeros((), jnp.int32)
     k1, k2 = jax.random.split(key)
     if cfg.sampler_fraction >= 1.0:
         s_pts, s_t, s_obj = _dense_ray_sampler(
@@ -500,6 +513,7 @@ def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
             lambda i, ok: jnp.zeros((n,), bool).at[
                 jnp.where(ok, i, n)].set(True, mode="drop"))(sel, sel_ok)
         network_object_mask = jnp.where(overflow, False, network_object_mask)
+        sampler_overflow = jnp.sum(overflow.astype(jnp.int32))
 
     points = cam_loc + dists[..., None] * ray_dirs
 
@@ -526,7 +540,9 @@ def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
     return RayTraceResult(points=points, dists=dists,
                           network_object_mask=network_object_mask,
                           mask_intersect=mask_intersect,
-                          sampler_mask=sampler_mask)
+                          sampler_mask=sampler_mask,
+                          trace_overflow=trace_overflow,
+                          sampler_overflow=sampler_overflow)
 
 
 # ---------------------------------------------------------------------------

@@ -270,3 +270,51 @@ class TestTraceCompaction:
         hits = np.asarray(res.network_object_mask)
         assert hits.sum() > 0
         assert np.abs(np.asarray(f(res.points))[hits]).max() < 1e-3
+
+
+class TestOverflowCounters:
+    """Compaction-overflow observability (RayTraceResult counters)."""
+
+    def _rays(self, n=128, seed=11):
+        cam = jnp.broadcast_to(jnp.array([0.0, 0.0, -2.5]), (1, n, 3))
+        ang = jax.random.uniform(jax.random.key(seed), (1, n, 2),
+                                 minval=-0.3, maxval=0.3)
+        d = jnp.stack([jnp.tan(ang[..., 0]), jnp.tan(ang[..., 1]),
+                       jnp.ones((1, n))], axis=-1)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return cam, d, jnp.ones((1, n), bool)
+
+    def test_zero_when_capacity_suffices(self):
+        cam, d, gt = self._rays()
+        res = ray_trace(sphere_sdf(), cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=20,
+                                         trace_compact_after=4,
+                                         trace_compact_fraction=0.99,
+                                         sampler_fraction=0.99),
+                        training=False)
+        assert int(res.trace_overflow) == 0
+        assert int(res.sampler_overflow) == 0
+
+    def test_trace_overflow_counted(self):
+        cam, d, gt = self._rays()
+        # after 3 iters most torus rays are still active; cap 4 rays
+        res = ray_trace(torus_sdf(), cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=30,
+                                         trace_compact_after=3,
+                                         trace_compact_fraction=4 / 128),
+                        training=False)
+        assert int(res.trace_overflow) > 0
+
+    def test_sampler_overflow_counted(self):
+        cam, d, gt = self._rays()
+        # 3 tracing iters leave most rays unconverged; sampler cap 2
+        res = ray_trace(torus_sdf(), cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=3,
+                                         sampler_fraction=2 / 128),
+                        training=False)
+        assert int(res.sampler_overflow) > 0
+        # overflowed rays are reported non-surface, not garbage
+        hits = np.asarray(res.network_object_mask)
+        f = torus_sdf()
+        if hits.sum():
+            assert np.abs(np.asarray(f(res.points))[hits]).max() < 5e-2
