@@ -77,10 +77,14 @@ class MVRDataset:
             "camera_mat": self.camera_mat[idx],
         }
         if self.load_dense_depth:
-            dpath = os.path.join(self.data_dir, "depth",
-                                 self.image_files[idx].replace(".png", ".exr"))
-            if os.path.exists(dpath):
-                item["img.depth"] = load_image(dpath)
+            # .npy preferred (framework writer); .exr = reference layout
+            stem = os.path.splitext(self.image_files[idx])[0]
+            dnpy = os.path.join(self.data_dir, "depth", stem + ".npy")
+            dexr = os.path.join(self.data_dir, "depth", stem + ".exr")
+            if os.path.exists(dnpy):
+                item["img.depth"] = np.load(dnpy).astype(np.float32)
+            elif os.path.exists(dexr):
+                item["img.depth"] = load_image(dexr)
         return item
 
     def get_pointclouds(self):

@@ -115,6 +115,41 @@ def _collect_vertex(out, data):
             out[k] = np.asarray(v)
 
 
+def read_obj(path: str) -> Dict[str, np.ndarray]:
+    """Minimal wavefront OBJ mesh reader: `v` and `f` records (faces
+    fan-triangulated, v/vt/vn and negative indices handled). Returns
+    {'points': (V,3), 'faces': (F,3)} — the mesh-input data-generation
+    path (reference create_mvr_data_from_mesh.py:103-107 uses
+    pytorch3d load_obj)."""
+    verts: list = []
+    faces: list = []
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0] == "v" and len(tok) >= 4:
+                verts.append([float(tok[1]), float(tok[2]), float(tok[3])])
+            elif tok[0] == "f" and len(tok) >= 4:
+                idx = []
+                for t in tok[1:]:
+                    i = int(t.split("/")[0])
+                    idx.append(i - 1 if i > 0 else len(verts) + i)
+                for k in range(1, len(idx) - 1):  # fan triangulation
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return {"points": np.asarray(verts, np.float32),
+            "faces": np.asarray(faces, np.int64)}
+
+
+def load_mesh(path: str) -> Dict[str, np.ndarray]:
+    """Load a PLY or OBJ mesh as {'points', 'faces'}."""
+    ext = os.path.splitext(path)[1].lower()
+    out = read_obj(path) if ext == ".obj" else read_ply(path)
+    if "faces" not in out or len(out["faces"]) == 0:
+        raise ValueError(f"{path}: no faces — not a mesh")
+    return out
+
+
 def save_ply(path: str, points: np.ndarray, normals: Optional[np.ndarray] = None,
              colors: Optional[np.ndarray] = None, faces: Optional[np.ndarray] = None,
              binary: bool = True,
