@@ -63,8 +63,12 @@ def create_model(cfg: AttrDict):
     icfg = ImplicitConfig(**dict(cfg.model.get("implicit_kwargs", {})))
     rendering_net = None
     if icfg.texture_type == "neural":
-        rendering_net = RenderingNetwork(
-            **dict(cfg.model.get("texture_kwargs", {})))
+        # no latent code feeds the texture net here (c_dim=0, matching
+        # ImplicitModel's own default; NeuralTexture inputs are
+        # [normals, points, embedded view], texture.py:137-156)
+        tkw = {"dim": 9, "c_dim": 0}
+        tkw.update(dict(cfg.model.get("texture_kwargs", {})))
+        rendering_net = RenderingNetwork(**tkw)
 
     if mtype == "implicit":
         return ImplicitModel(decoder, rendering_net, icfg)
@@ -75,8 +79,12 @@ def create_model(cfg: AttrDict):
     raise ValueError(f"unknown model type {mtype}")
 
 
-def create_trainer(model, cfg: AttrDict, seed: int = 0) -> MVRTrainer:
-    """(config.py:269-299)."""
+def create_trainer(model, cfg: AttrDict, seed: int = 0,
+                   n_devices: int = 1) -> MVRTrainer:
+    """(config.py:269-299). `n_devices` > 1 shards rays over a device
+    mesh (green-field multi-chip mandate, SURVEY.md §2.3)."""
+    from isopoints_tpu.parallel.sharding import make_mesh
+
     tkw = dict(cfg.get("training", {}))
     sched_kw = {k[len("scheduler_"):]: v for k, v in tkw.items()
                 if k.startswith("scheduler_")}
@@ -84,7 +92,8 @@ def create_trainer(model, cfg: AttrDict, seed: int = 0) -> MVRTrainer:
     tcfg = TrainerConfig(**{k: v for k, v in tkw.items()
                             if k in TrainerConfig.__dataclass_fields__})
     scheduler = TrainerScheduler(**sched_kw) if sched_kw else None
-    return MVRTrainer(model, tcfg, scheduler=scheduler, seed=seed)
+    return MVRTrainer(model, tcfg, scheduler=scheduler, seed=seed,
+                      mesh=make_mesh(n_devices))
 
 
 def create_dataset(cfg: AttrDict, mode: str = "train"):

@@ -158,7 +158,8 @@ class CombinedModel(ImplicitModel):
                                           points, mask,
                                           camera: PerspectiveCamera,
                                           key: jax.Array,
-                                          normals=None, frontal=None):
+                                          normals=None, frontal=None,
+                                          ray_uniform=None):
         """Freespace + occluded-insurface candidates
         (combined_modeling.py:237-388).
 
@@ -181,7 +182,12 @@ class CombinedModel(ImplicitModel):
         entry, exit_, hit = intersection_with_unit_cube(
             cam_pos, dirs, side_length=self.cfg.object_bounding_sphere * 2)
         seg_len = jnp.linalg.norm(exit_ - entry, axis=-1)
-        t = jax.random.uniform(key, seg_len.shape) * seg_len
+        # `ray_uniform` lets the sharded train step pre-sample the
+        # per-ray depth draws full-width from a replicated key and pass
+        # each shard its slice — mesh(N) then matches mesh(1) exactly
+        if ray_uniform is None:
+            ray_uniform = jax.random.uniform(key, seg_len.shape)
+        t = ray_uniform * seg_len
         p_free_rays = entry + t[..., None] * dirs
         free_rays_mask = (~in_gt) & hit
 
@@ -237,7 +243,7 @@ class CombinedModel(ImplicitModel):
                 camera: PerspectiveCamera, key: jax.Array,
                 points=None, points_mask=None, lights=None,
                 project: bool = True, sample_iso_offsurface: bool = True,
-                training: bool = True):
+                training: bool = True, ray_uniform=None):
         """Combined forward (combined_modeling.py:481-732).
 
         Returns (ModelOutput, new_points, new_points_mask) — the caller
@@ -273,7 +279,8 @@ class CombinedModel(ImplicitModel):
                 self.sample_offsurface_using_isopoints(
                     params, ndc_pixels, mask_img, iso_pts, iso_mask,
                     points, points_mask, camera, k2,
-                    normals=pts_normals, frontal=frontal)
+                    normals=pts_normals, frontal=frontal,
+                    ray_uniform=ray_uniform)
         else:
             p_free, free_mask, p_ins, ins_mask = (
                 ons_pts, jnp.zeros_like(ons_mask),
@@ -296,7 +303,11 @@ class CombinedModel(ImplicitModel):
             p_freespace=jax.lax.stop_gradient(p_free),
             freespace_mask=free_mask, sdf_freespace=sdf_free,
             p_occupancy=jax.lax.stop_gradient(p_ins),
-            occupancy_mask=ins_mask, sdf_occupancy=sdf_occ)
+            occupancy_mask=ins_mask, sdf_occupancy=sdf_occ,
+            # the combined path samples via iso-points, not the IDR
+            # tracer — no compaction capacities in play
+            overflow_trace=jnp.zeros((), jnp.int32),
+            overflow_sampler=jnp.zeros((), jnp.int32))
 
         # persistent buffer update (:678): visible iso-points of view 0
         new_points = jax.lax.stop_gradient(iso_pts)

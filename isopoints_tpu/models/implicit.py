@@ -57,6 +57,10 @@ class ModelOutput(NamedTuple):
     p_occupancy: jax.Array    # (B, No, 3)
     occupancy_mask: jax.Array
     sdf_occupancy: jax.Array  # (B, No)
+    # ray-compaction overflow counters (scalar int32, 0 when the IDR
+    # tracer was not used) — see RayTraceResult.trace_overflow
+    overflow_trace: jax.Array = None
+    overflow_sampler: jax.Array = None
 
 
 @dataclass(frozen=True)
@@ -196,8 +200,9 @@ class ImplicitModel:
                            key: jax.Array, training: bool = True):
         """IDR ray tracing wrapper (implicit_modeling.py:422-453).
 
-        Returns (iso_points, mask_pred, free_mask, occ_mask, points):
-        every ray yields a point; masks classify it.
+        Returns (iso_points, mask_pred, free_mask, occ_mask, res):
+        every ray yields a point; masks classify it; `res` is the full
+        RayTraceResult (candidate points + overflow counters).
         """
         f = self.trace_sdf_fn(params)
         cam_pos = camera.camera_center()[:, None, :]
@@ -211,7 +216,7 @@ class ImplicitModel:
                 dirs, cam_pos)
         free_mask = ~mask_gt
         occ_mask = (~res.network_object_mask) & mask_gt
-        return iso_points, res.network_object_mask, free_mask, occ_mask, res.points
+        return iso_points, res.network_object_mask, free_mask, occ_mask, res
 
     def sample_world_points(self, params, ndc_pixels: jax.Array,
                             camera: PerspectiveCamera, mask_gt: jax.Array,
@@ -253,9 +258,10 @@ class ImplicitModel:
         """
         mask_gt = sample_image_at_ndc(mask_img, ndc_pixels,
                                       mode="nearest")[..., 0] > 0.5
-        iso_points, mask_pred, free_mask, occ_mask, ray_points = \
+        iso_points, mask_pred, free_mask, occ_mask, trace_res = \
             self.sample_from_pixels(params, ndc_pixels, camera, mask_gt, key,
                                     training=training)
+        ray_points = trace_res.points
         iso_mask = mask_gt & mask_pred
         # pixel-grad observability hook (debug.py; reference
         # implicit_modeling.py:545-601 registers backward hooks here)
@@ -280,7 +286,9 @@ class ImplicitModel:
             p_freespace=jax.lax.stop_gradient(ray_points),
             freespace_mask=free_mask, sdf_freespace=sdf_free,
             p_occupancy=jax.lax.stop_gradient(ray_points),
-            occupancy_mask=occ_mask, sdf_occupancy=sdf_occ)
+            occupancy_mask=occ_mask, sdf_occupancy=sdf_occ,
+            overflow_trace=trace_res.trace_overflow,
+            overflow_sampler=trace_res.sampler_overflow)
 
     # -- iso-point extraction ---------------------------------------------
     def get_point_clouds(self, params, points: jax.Array, mask: jax.Array,

@@ -1,4 +1,4 @@
-"""Multi-chip scaling: mesh construction + sharded training steps.
+"""Multi-chip scaling: mesh construction + THE training step.
 
 The reference is single-GPU with no distributed layer (SURVEY.md §2.3)
 — this module is the green-field TPU-native scaling design mandated by
@@ -9,13 +9,22 @@ replicated with gradients `psum` over ICI inside the backward
 (`shard_map` + XLA collectives; the compiler overlaps the all-reduce
 with the remaining backward work).
 
+`make_train_step` is the ONLY step implementation: `MVRTrainer` builds
+through it on a 1-device mesh by default, and `train_mvr.py
+--n-devices N` scales it out — there is no separate single-chip code
+path to drift. Determinism contract: every random draw is taken
+full-width from the replicated key and sliced per shard, and loss
+terms are normalized per segment (see `compute_loss`), so mesh(N)
+reproduces mesh(1) exactly up to float reduction order
+(tests/test_parallel.py asserts this).
+
 Scaling recipe (jax-ml scaling-book style): pick the mesh, annotate
 in/out specs, let XLA insert collectives; rays/s efficiency is
 measured by `bench.py` at 1 chip and on the virtual multi-device mesh
 by `__graft_entry__.dryrun_multichip`.
 """
 
-from functools import partial
+import math
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -26,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from isopoints_tpu.models.combined import CombinedModel
-from isopoints_tpu.training.trainer import compute_loss
+from isopoints_tpu.ops.images import sample_random_pixels
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
@@ -37,66 +46,72 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def make_sharded_train_step(model: CombinedModel,
-                            optimizer: optax.GradientTransformation,
-                            mesh: Mesh, project: bool = True,
-                            n_eikonal_points: int = 1024):
-    """Build a jitted multi-chip training step.
+def make_train_step(model: CombinedModel,
+                    optimizer: optax.GradientTransformation,
+                    mesh: Mesh, project: bool,
+                    n_rays: int, image_size: Tuple[int, int],
+                    n_eikonal_points: int = 1024):
+    """Build THE jitted training step over `mesh` (1-device = single chip).
 
     Sharding layout:
-      * `ndc_pixels` (B, N, 2): N sharded over the mesh axis — each
-        chip traces N/n_dev rays (the hot loop).
+      * rays: `n_rays` pixels sampled full-width inside the step from
+        the replicated key; each chip traces its n_rays/n_dev slice
+        (the hot loop).
       * images / cameras / iso-points / params: replicated.
-      * loss + grads: per-shard sums `psum`ed over ICI, then a
-        replicated optimizer update (identical on every chip).
+      * loss + grads: per-shard partial losses normalized so
+        `pmean` (over ICI) reconstructs the global loss/gradient, then
+        a replicated optimizer update (identical on every chip).
 
     Returns step(params, opt_state, points, points_mask, img, mask_img,
-    camR, camT, fl, pp, hp, key) -> (params, opt_state, new_points,
-    new_mask, metrics).
+    camera, hp, key) -> (params, opt_state, new_points, new_mask,
+    metrics, saliency). `saliency` is the (points, rgb_residual, mask)
+    triple for loss-weighted resampling (replicated; meaningful only
+    with project=True).
     """
+    from isopoints_tpu.training.trainer import compute_loss
+
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
+    n_local = -(-n_rays // n_dev)          # ceil: round the ray budget up
+    n_eik = -(-n_eikonal_points // n_dev) * n_dev
 
-    def local_loss(params, points, points_mask, pixels, img, mask_img,
-                   camR, camT, fl, pp, hp, key):
-        from isopoints_tpu.core.camera import PerspectiveCamera
+    def shard_body(params, opt_state, points, points_mask, img, mask_img,
+                   camera, hp, key):
+        i = jax.lax.axis_index(axis)
+        k_pix, k_loss = jax.random.split(key)
+        # full-width replicated pixel sample, local slice
+        pix_full = sample_random_pixels(k_pix, n_local * n_dev, image_size,
+                                        batch_size=img.shape[0])
+        pixels = jax.lax.dynamic_slice_in_dim(pix_full, i * n_local,
+                                              n_local, axis=1)
 
-        camera = PerspectiveCamera(R=camR, T=camT, focal_length=fl,
-                                   principal_point=pp)
-        # The iso-point pipeline (visible projection -> new_pts) must be
-        # DETERMINISTIC across shards (its inputs — points, camera, key —
-        # are all replicated), so the main key stays UNFOLDED; only the
-        # eikonal sampling, which SHOULD differ per shard, gets an
-        # axis-folded key.
-        k_eik = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        loss, (metrics, new_pts, new_mask, _saliency) = compute_loss(
-            model, params, points, points_mask, pixels, img, mask_img,
-            camera, key, hp, project,
-            n_eikonal_points=max(n_eikonal_points // n_dev, 1),
-            eikonal_key=k_eik)
-        return loss, (metrics, new_pts, new_mask)
+        def local_loss(params):
+            return compute_loss(model, params, points, points_mask, pixels,
+                                img, mask_img, camera, k_loss, hp, project,
+                                n_eikonal_points=n_eik, n_dev=n_dev,
+                                axis_name=axis)
 
-    def shard_body(params, opt_state, points, points_mask, pixels, img,
-                   mask_img, camR, camT, fl, pp, hp, key):
-        (loss, (metrics, new_pts, new_mask)), grads = jax.value_and_grad(
-            local_loss, has_aux=True)(params, points, points_mask, pixels,
-                                      img, mask_img, camR, camT, fl, pp,
-                                      hp, key)
+        (loss, (metrics, new_pts, new_mask, saliency)), grads = \
+            jax.value_and_grad(local_loss, has_aux=True)(params)
         # ICI all-reduce; XLA overlaps with the remaining backward
         grads = jax.lax.pmean(grads, axis)
-        metrics = jax.tree.map(lambda v: jax.lax.pmean(
-            v.astype(jnp.float32), axis), metrics)
+        metrics = jax.tree.map(
+            lambda v: jax.lax.pmean(v.astype(jnp.float32), axis), metrics)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, new_pts, new_mask, metrics
+        if project:
+            # iso pipeline is shard-deterministic -> replicated outputs
+            return params, opt_state, new_pts, new_mask, metrics, saliency
+        # warm-up: iso buffers pass through unchanged; per-ray saliency
+        # is unused (replicated dummies keep the out_specs uniform)
+        zero3 = jnp.zeros((1, 1, 3), jnp.float32)
+        zero1 = jnp.zeros((1, 1), jnp.float32)
+        return (params, opt_state, points, points_mask, metrics,
+                (zero3, zero1, zero1 > 0))
 
     rep = P()
-    pix_spec = P(None, axis)          # shard the ray axis
-    in_specs = (rep, rep, rep, rep, pix_spec, rep, rep, rep, rep, rep,
-                rep, rep, rep)
-    # new_pts/new_mask come from the replicated iso pipeline
-    out_specs = (rep, rep, rep, rep, rep)
-
+    in_specs = (rep,) * 9
+    out_specs = (rep, rep, rep, rep, rep, (rep, rep, rep))
     sharded = shard_map(shard_body, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)
     return jax.jit(sharded)
@@ -106,9 +121,3 @@ def replicate(tree, mesh: Mesh):
     """Place a pytree replicated on every mesh device."""
     sharding = jax.sharding.NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
-
-
-def shard_rays(pixels: jax.Array, mesh: Mesh) -> jax.Array:
-    """Place (B, N, 2) pixels with N sharded over the mesh axis."""
-    sharding = jax.sharding.NamedSharding(mesh, P(None, mesh.axis_names[0]))
-    return jax.device_put(pixels, sharding)

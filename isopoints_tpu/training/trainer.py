@@ -15,6 +15,7 @@ the scheduler and select a cached compilation; smooth hyper-parameters
 iso-point buffer is threaded explicitly through the step.
 """
 
+import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -70,38 +71,71 @@ def compute_loss(model: CombinedModel, params, points, points_mask,
                  ndc_pixels, img, mask_img, camera, key, hp: Dict,
                  project: bool, training: bool = True,
                  n_eikonal_points: int = 1024,
-                 eikonal_key: Optional[jax.Array] = None):
+                 n_dev: int = 1, axis_name: Optional[str] = None):
     """Loss assembly (trainer.py:413-505). `hp` holds DYNAMIC scalars
-    (lambda_*, sdf_alpha); `project` is static. `eikonal_key` lets the
-    sharded step give each chip distinct eikonal samples while the
-    iso-point pipeline stays shard-deterministic."""
-    k1, k2 = jax.random.split(key)
-    if eikonal_key is not None:
-        k2 = eikonal_key
+    (lambda_*, sdf_alpha); `project` is static.
+
+    SPMD contract (the ONLY step implementation — mesh(1) is the
+    single-chip case): `ndc_pixels` is this shard's slice of the global
+    ray set; `n_eikonal_points` is the GLOBAL eikonal budget. All
+    randomness is drawn full-width from the replicated `key` and
+    sliced per shard, and each loss term is normalized so that
+    `pmean(local_loss)` over `axis_name` equals the global loss:
+    ray-sharded sums divide by the LOCAL pixel count, replicated
+    iso-point sums by the GLOBAL pixel count. mesh(N) therefore
+    matches mesh(1) exactly (up to float reduction order)."""
+    b, n_ray = ndc_pixels.shape[:2]
+    shard = jax.lax.axis_index(axis_name) if axis_name is not None else 0
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    # per-ray depth draws for the off-surface sampler: full-width from
+    # the replicated key, local slice (see CombinedModel ray_uniform)
+    u_ray = jax.random.uniform(k3, (b, n_ray * n_dev))
+    if n_dev > 1:
+        u_ray = jax.lax.dynamic_slice_in_dim(u_ray, shard * n_ray, n_ray,
+                                             axis=1)
     out, new_pts, new_mask = model.forward(
         params, ndc_pixels, img, mask_img, camera, k1,
         points=points, points_mask=points_mask, project=project,
-        training=training)
+        training=training, ray_uniform=u_ray)
 
-    n_px = float(ndc_pixels.shape[0] * ndc_pixels.shape[1])
+    n_px_local = float(b * n_ray)
+    n_px_global = n_px_local * n_dev
 
     # photoconsistency: L1 summed over valid points, normalized by the
-    # total ray count (trainer.py:472-476, 639-657)
+    # total ray count (trainer.py:472-476, 639-657). With project=True
+    # the iso set is replicated across shards (global normalizer);
+    # in the warm-up IDR path it is per-ray (local normalizer).
     rgb_diff = jnp.sum(jnp.abs(out.iso_rgb - out.iso_rgb_gt), axis=-1)
-    loss_rgb = jnp.sum(jnp.where(out.iso_mask, rgb_diff, 0.0)) / n_px
+    rgb_norm = n_px_global if project else n_px_local
+    loss_rgb = jnp.sum(jnp.where(out.iso_mask, rgb_diff, 0.0)) / rgb_norm
 
-    # freespace / occupancy BCE on -alpha*sdf (trainer.py:604-632)
+    # freespace / occupancy BCE on -alpha*sdf (trainer.py:604-632).
+    # The freespace set is [n_ray ray rows | replicated iso rows]
+    # (combined.py p_free concat) — weight the two segments by their
+    # own normalizers.
     alpha = hp["sdf_alpha"]
-    loss_free = sdf_freespace_loss(out.sdf_freespace, alpha=alpha,
-                                   mask=out.freespace_mask,
-                                   reduction="sum") / n_px
+    free_elems = sdf_freespace_loss(out.sdf_freespace, alpha=alpha,
+                                    mask=out.freespace_mask,
+                                    reduction="none")
+    nf = free_elems.shape[1]
+    w_free = jnp.concatenate([
+        jnp.full((n_ray,), 1.0 / n_px_local),
+        jnp.full((nf - n_ray,), 1.0 / n_px_global)])
+    loss_free = jnp.sum(free_elems * w_free)
     loss_occ = sdf_occupancy_loss(out.sdf_occupancy, alpha=alpha,
                                   mask=out.occupancy_mask,
-                                  reduction="sum") / n_px
+                                  reduction="sum") / n_px_local
 
-    # eikonal on uniform cube points (trainer.py:489-498)
-    u = jax.random.uniform(k2, (1, n_eikonal_points, 3),
+    # eikonal on uniform cube points (trainer.py:489-498): global
+    # sample set from the replicated key, each shard takes its slice
+    # (mean of equal-sized shard means == global mean)
+    n_eik_local = max(n_eikonal_points // n_dev, 1)
+    u = jax.random.uniform(k2, (1, n_eik_local * n_dev, 3),
                            minval=-1.0, maxval=1.0)
+    if n_dev > 1:
+        u = jax.lax.dynamic_slice_in_dim(u, shard * n_eik_local,
+                                         n_eik_local, axis=1)
     grad = model.normals_from_grad(params, u)
     loss_eik = eikonal_loss(grad)
 
@@ -109,10 +143,20 @@ def compute_loss(model: CombinedModel, params, points, points_mask,
              + hp["lambda_freespace"] * loss_free
              + hp["lambda_occupied"] * loss_occ
              + hp["lambda_eikonal"] * loss_eik)
+    # counts over sharded sets need the n_dev factor so pmean yields
+    # the global count; the project=True iso set is replicated
+    n_iso = jnp.sum(out.iso_mask) * (1 if project else n_dev)
     metrics = {"loss": total, "loss_rgb": loss_rgb,
                "loss_freespace": loss_free, "loss_occupied": loss_occ,
                "loss_eikonal": loss_eik,
-               "n_iso": jnp.sum(out.iso_mask)}
+               "n_iso": n_iso,
+               # compaction-overflow observability (RayTraceResult):
+               # rays are sharded, so scale the per-shard counts by
+               # n_dev so the pmean over shards yields the global sum;
+               # non-zero sustained values mean sampler_fraction /
+               # trace_compact_fraction are too small for this scene
+               "overflow_trace": out.overflow_trace * n_dev,
+               "overflow_sampler": out.overflow_sampler * n_dev}
     # per-point photoconsistency residual for saliency sampling
     # (trainer.py:509-582 ref_per_point_metric, mode 'loss')
     aux_saliency = (jax.lax.stop_gradient(out.iso_points),
@@ -126,9 +170,14 @@ class MVRTrainer:
     def __init__(self, model: CombinedModel, cfg: TrainerConfig = TrainerConfig(),
                  scheduler: Optional[TrainerScheduler] = None,
                  optimizer: Optional[optax.GradientTransformation] = None,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
+        from isopoints_tpu.parallel.sharding import make_mesh
+
         self.model = model
         self.cfg = cfg
+        # THE step runs over a device mesh; 1 device = the single-chip
+        # case (same code path — parallel/sharding.make_train_step)
+        self.mesh = mesh if mesh is not None else make_mesh(1)
         self.scheduler = scheduler or TrainerScheduler(
             init_n_rays=cfg.n_rays,
             init_lambda_rgb=cfg.lambda_rgb,
@@ -158,31 +207,19 @@ class MVRTrainer:
     # ---------------------------------------------------------------
     def _jitted_step(self, project: bool, n_rays: int, image_size: Tuple[int, int]):
         from isopoints_tpu.debug import get_debugging_mode
+        from isopoints_tpu.parallel.sharding import make_train_step
 
         # tap_grad gates at TRACE time: include the debug flag in the
         # cache key so toggling debugging re-traces with/without taps
-        cache_key = (project, n_rays, image_size, get_debugging_mode())
+        cache_key = (project, n_rays, image_size, get_debugging_mode(),
+                     self.mesh.devices.size)
         if cache_key in self._step_cache:
             return self._step_cache[cache_key]
 
-        model, optimizer = self.model, self.optimizer
-
-        @jax.jit
-        def step(params, opt_state, points, points_mask, img, mask_img,
-                 camera, hp, key):
-            k1, k2 = jax.random.split(key)
-            pixels = sample_random_pixels(k1, n_rays, image_size,
-                                          batch_size=img.shape[0])
-            (loss, (metrics, new_pts, new_mask, saliency)), grads = \
-                jax.value_and_grad(
-                    compute_loss, argnums=1, has_aux=True)(
-                        model, params, points, points_mask, pixels, img,
-                        mask_img, camera, k2, hp, project,
-                        n_eikonal_points=self.cfg.n_eikonal_points)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, new_pts, new_mask, metrics, saliency
-
+        step = make_train_step(self.model, self.optimizer, self.mesh,
+                               project=project, n_rays=n_rays,
+                               image_size=image_size,
+                               n_eikonal_points=self.cfg.n_eikonal_points)
         self._step_cache[cache_key] = step
         return step
 
@@ -217,14 +254,28 @@ class MVRTrainer:
         if self.cfg.saliency_sampling and project:
             self.update_ref_metric(*saliency)
 
-        if new_pts is None:
-            new_pts, new_mask = points, points_mask
         new_state = TrainState(params=params, opt_state=opt_state,
                                points=new_pts, points_mask=new_mask,
                                it=it + 1)
         return new_state, {k: float(v) for k, v in metrics.items()}
 
     # ---------------------------------------------------------------
+    def set_reference_cloud(self, points) -> None:
+        """Seed the saliency reference cloud by FPS-downsampling the
+        dataset GT point cloud (the reference FPS-samples the GT,
+        trainer.py:521). Without a GT cloud, `update_ref_metric` falls
+        back to seeding from the first projected iso set."""
+        from isopoints_tpu.ops.sampling import farthest_point_sampling
+
+        pts = jnp.asarray(points, jnp.float32)[None]
+        n = min(self.cfg.n_ref_points, pts.shape[1])
+        idx, ok = farthest_point_sampling(
+            pts, n, jnp.ones(pts.shape[:2], dtype=bool))
+        self._ref_points = jnp.take_along_axis(pts, idx[..., None], axis=1)
+        self._ref_mask = ok
+        self._ref_stat_mean = jnp.zeros(self._ref_points.shape[:2])
+        self._ref_stat_n = jnp.zeros(self._ref_points.shape[:2])
+
     def update_ref_metric(self, iso_points, rgb_losses, iso_mask) -> None:
         """Average per-point RGB residuals onto the reference saliency
         cloud with a running mean (ref_per_point_metric mode 'loss',
@@ -322,6 +373,50 @@ class MVRTrainer:
         psnr = -10.0 * jnp.log10(jnp.maximum(rgb_mse, 1e-10))
         return {"iou": float(iou), "rgb_mse": float(rgb_mse),
                 "psnr": float(psnr)}
+
+    def eval_step_full(self, state: TrainState, img: jax.Array,
+                       mask_img: jax.Array, camera: PerspectiveCamera
+                       ) -> Dict:
+        """Full-image validation (reference eval_step,
+        trainer.py:267-301): render WHOLE images by chunked ray tracing
+        (Generator.raytrace_images) and score mask IoU + image-space
+        PSNR against the GT view. Heavier than `eval_step` (which
+        scores random rays) — run on the validate cadence."""
+        from isopoints_tpu.models.generator import Generator, GeneratorConfig
+
+        s = img.shape[1]
+        assert img.shape[2] == s, "eval_step_full expects square images"
+        gen = Generator(self.model, GeneratorConfig(image_size=s))
+        rgba = gen.raytrace_images(state.params, camera,
+                                   key=self.keys.next())   # (B, s, s, 4)
+        pred_mask = rgba[..., 3] > 0.5
+        gt_mask = np.asarray(mask_img[..., 0]) > 0.5
+        inter = float(np.sum(pred_mask & gt_mask))
+        union = float(np.sum(pred_mask | gt_mask))
+        iou = inter / max(union, 1.0)
+        mse = float(np.mean((rgba[..., :3] - np.asarray(img)) ** 2))
+        psnr = -10.0 * math.log10(max(mse, 1e-10))
+        return {"iou_full": iou, "psnr_full": psnr, "mse_full": mse}
+
+    def evaluate_mesh_vs_gt(self, state: TrainState, gt_points: np.ndarray,
+                            gt_normals: Optional[np.ndarray] = None,
+                            resolution: int = 96) -> Dict:
+        """Chamfer of the generated mesh against GT surface samples on
+        the validate cadence (reference evaluate_mesh,
+        trainer.py:239-258)."""
+        from isopoints_tpu.models.generator import Generator, GeneratorConfig
+        from isopoints_tpu.training.evaluation import evaluate_mesh
+
+        gen = Generator(self.model, GeneratorConfig(mesh_resolution=resolution))
+        verts, faces = gen.generate_mesh(state.params, two_stage=False)
+        if len(verts) == 0:
+            return {"chamfer": float("inf")}
+        res = evaluate_mesh(verts, faces, gt_points, gt_normals,
+                            n_samples=min(20_000, 4 * len(gt_points)))
+        out = {"chamfer": res["chamfer_p"]}
+        if "chamfer_n" in res:
+            out["chamfer_n"] = res["chamfer_n"]
+        return out
 
     def check_state(self, state: TrainState) -> bool:
         return check_weights(state.params)

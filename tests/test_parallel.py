@@ -1,8 +1,10 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh.
 
-Checks the sharded training step compiles + runs, that gradients are
-correctly psum'd (replicated params stay bit-identical across chips),
-and that sharded-vs-single-device losses agree on the same inputs.
+The load-bearing guarantee: `make_train_step` is THE step — mesh(8)
+must reproduce mesh(1) (loss, metrics, and updated params allclose)
+on identical inputs, because `MVRTrainer`/`train_mvr.py --n-devices`
+run the same builder. Also checks replication invariants (params
+bit-identical across shards after the psum'd update).
 """
 
 import jax
@@ -15,13 +17,9 @@ from isopoints_tpu.core.camera import PerspectiveCamera, look_at_view_transform
 from isopoints_tpu.models.combined import CombinedConfig, CombinedModel
 from isopoints_tpu.models.fields import SirenField
 from isopoints_tpu.models.implicit import ImplicitConfig
-from isopoints_tpu.parallel.sharding import (
-    make_mesh,
-    make_sharded_train_step,
-    replicate,
-    shard_rays,
-)
+from isopoints_tpu.parallel.sharding import make_mesh, make_train_step
 from isopoints_tpu.rendering.rasterizer import RasterizationSettings
+from isopoints_tpu.training.trainer import MVRTrainer, TrainerConfig, TrainState
 
 
 def tiny_model(image_size=32):
@@ -46,50 +44,89 @@ def setup():
     return model, params, camera, img, mask_img
 
 
-def run_sharded(setup, n_devices, project=True):
+def run_step(setup, n_devices, project=True, key=3):
     model, params, camera, img, mask_img = setup
     mesh = make_mesh(n_devices)
     optimizer = optax.adam(1e-4)
     opt_state = optimizer.init(params)
     points, points_mask = model.init_points(jax.random.key(1))
-    n_rays = 8 * max(n_devices, 1)
-    ndc = jax.random.uniform(jax.random.key(2), (1, n_rays, 2),
-                             minval=-0.8, maxval=0.8)
-    step = make_sharded_train_step(model, optimizer, mesh, project=project,
-                                   n_eikonal_points=8 * n_devices)
+    step = make_train_step(model, optimizer, mesh, project=project,
+                           n_rays=64, image_size=(32, 32),
+                           n_eikonal_points=64)
     hp = {k: jnp.asarray(v) for k, v in
           [("lambda_rgb", 1.0), ("lambda_freespace", 1.0),
            ("lambda_occupied", 1.0), ("lambda_eikonal", 0.01),
            ("sdf_alpha", 10.0)]}
-    out = step(replicate(params, mesh), replicate(opt_state, mesh),
-               replicate(points, mesh), replicate(points_mask, mesh),
-               shard_rays(ndc, mesh), img, mask_img,
-               camera.R, camera.T, camera.focal_length,
-               camera.principal_point, hp, jax.random.key(3))
-    return out
+    return step(params, opt_state, points, points_mask, img, mask_img,
+                camera, hp, jax.random.key(key))
 
 
 class TestShardedStep:
     def test_eight_device_step_runs(self, setup):
         assert jax.device_count() >= 8, "conftest must force 8 cpu devices"
-        params, opt_state, pts, msk, metrics = run_sharded(setup, 8)
+        params, opt_state, pts, msk, metrics, _sal = run_step(setup, 8)
         assert np.isfinite(float(metrics["loss"]))
-        # updated params finite everywhere
         for leaf in jax.tree.leaves(params):
             assert np.isfinite(np.asarray(leaf)).all()
 
     def test_params_replicated_after_update(self, setup):
-        params, *_ = run_sharded(setup, 8)
+        params, *_ = run_step(setup, 8)
         # replicated sharding: addressable shards must be identical
         leaf = jax.tree.leaves(params)[0]
         shards = [np.asarray(s.data) for s in leaf.addressable_shards]
         for s in shards[1:]:
             np.testing.assert_array_equal(shards[0], s)
 
+    @pytest.mark.parametrize("project", [True, False])
+    def test_sharded_matches_single_device(self, setup, project):
+        """mesh(8) == mesh(1) on the same inputs: the SPMD determinism
+        contract (full-width replicated sampling + per-segment loss
+        normalization, sharding.py / trainer.compute_loss)."""
+        p1, _, pts1, msk1, m1, sal1 = run_step(setup, 1, project=project)
+        p8, _, pts8, msk8, m8, sal8 = run_step(setup, 8, project=project)
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=1e-5, atol=1e-6)
+        for k in m1:
+            np.testing.assert_allclose(float(m1[k]), float(m8[k]),
+                                       rtol=1e-4, atol=1e-6, err_msg=k)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            p1, p8)
+        # threaded iso buffers also replicated-deterministic
+        np.testing.assert_allclose(np.asarray(pts1), np.asarray(pts8),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(msk1), np.asarray(msk8))
+        if project:
+            np.testing.assert_allclose(np.asarray(sal1[1]),
+                                       np.asarray(sal8[1]),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_two_device_matches_structure(self, setup):
-        params2, _, pts2, msk2, m2 = run_sharded(setup, 2)
+        p2, _, pts2, msk2, m2, _sal = run_step(setup, 2)
         assert np.isfinite(float(m2["loss"]))
 
-    def test_fallback_project_false(self, setup):
-        params, _, pts, msk, metrics = run_sharded(setup, 8, project=False)
-        assert np.isfinite(float(metrics["loss"]))
+
+class TestTrainerOnMesh:
+    def test_trainer_train_step_on_mesh(self, setup):
+        """MVRTrainer drives the SAME sharded step (the flagship path
+        train_mvr.py --n-devices exercises)."""
+        model, params, camera, img, mask_img = setup
+        t1 = MVRTrainer(model, TrainerConfig(n_rays=64, n_eikonal_points=64,
+                                             warm_up_iters=0,
+                                             resample_every=10_000),
+                        mesh=make_mesh(1), seed=7)
+        t8 = MVRTrainer(model, TrainerConfig(n_rays=64, n_eikonal_points=64,
+                                             warm_up_iters=0,
+                                             resample_every=10_000),
+                        mesh=make_mesh(8), seed=7)
+        s1 = t1.init_state()._replace(it=1)
+        s8 = t8.init_state()._replace(it=1)
+        s1, m1 = t1.train_step(s1, img, mask_img, camera)
+        s8, m8 = t8.train_step(s8, img, mask_img, camera)
+        np.testing.assert_allclose(m1["loss"], m8["loss"],
+                                   rtol=1e-5, atol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            s1.params, s8.params)

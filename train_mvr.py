@@ -28,6 +28,9 @@ def main():
     parser.add_argument("--visualize-every", type=int, default=-1)
     parser.add_argument("--print-every", type=int, default=20)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--n-devices", type=int, default=1,
+                        help="shard rays over the first N jax devices")
+    parser.add_argument("--eval-mesh-resolution", type=int, default=96)
     args = parser.parse_args()
 
     import jax
@@ -52,23 +55,52 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     save_config(os.path.join(out_dir, "config.yaml"), cfg)
 
+    from isopoints_tpu.data.dataset import DTUDataset
+
     data = create_dataset(cfg)
+    gt_points = gt_normals = None
     if isinstance(data, dict):  # synthetic: in-memory arrays
         images = data["img.rgb"]
         masks = data["img.mask"]
         cam_mats = data["camera_mat"]
         fl, pp = data["focal_length"], data["principal_point"]
+        gt_points = data.get("points")
+        gt_normals = data.get("normals")
     else:
         items = [data[i] for i in range(len(data))]
         images = np.stack([i["img.rgb"] for i in items])
         masks = np.stack([i["img.mask"] for i in items])
-        cam_mats = data.camera_mat
-        fl, pp = data.focal_length, data.principal_point
+        if isinstance(data, DTUDataset):
+            gt = data.get_gt_pointcloud()
+            if gt is not None:
+                gt_points = gt["points"]
+                gt_normals = gt.get("normals")
+        else:
+            cam_mats = data.camera_mat
+            fl, pp = data.focal_length, data.principal_point
+            gt_points, gt_normals, _ = data.get_pointclouds()
+
+    if isinstance(data, DTUDataset):
+        # per-view intrinsics from the KRt decomposition
+        # (DSS/utils/dataset.py:329-341)
+        def get_camera(idx):
+            return data.camera(list(idx), images.shape[1:3])
+    else:
+        def get_camera(idx):
+            return PerspectiveCamera.create(
+                R=np.stack([cam_mats[i][:3, :3] for i in idx]),
+                T=np.stack([cam_mats[i][3, :3] for i in idx]),
+                focal_length=fl, principal_point=pp)
     n_views = images.shape[0]
     log.info("dataset: %d views of %s", n_views, images.shape[1:3])
 
     model = create_model(cfg)
-    trainer = create_trainer(model, cfg, seed=args.seed)
+    trainer = create_trainer(model, cfg, seed=args.seed,
+                             n_devices=args.n_devices)
+    if trainer.cfg.saliency_sampling and gt_points is not None:
+        trainer.set_reference_cloud(gt_points)
+        log.info("saliency reference cloud: FPS of %d GT points",
+                 len(gt_points))
     state = trainer.init_state()
 
     ckpt = CheckpointIO(out_dir, model=state.params,
@@ -105,10 +137,7 @@ def main():
         idx = rng.choice(n_views, size=batch_views, replace=False)
         img = jnp.asarray(images[idx])
         mask = jnp.asarray(masks[idx])
-        camera = PerspectiveCamera.create(
-            R=np.stack([cam_mats[i][:3, :3] for i in idx]),
-            T=np.stack([cam_mats[i][3, :3] for i in idx]),
-            focal_length=fl, principal_point=pp)
+        camera = get_camera(idx)
         state, metrics = trainer.train_step(state, img, mask, camera)
         metrics_writer.log(it, metrics)
 
@@ -121,12 +150,19 @@ def main():
             save("model.npz")
         if args.validate_every > 0 and it > 0 and it % args.validate_every == 0:
             ev = trainer.eval_step(state, img, mask, camera)
+            # full-image render + mesh chamfer (reference eval_step /
+            # evaluate_mesh, DSS trainer.py:239-301)
+            ev.update(trainer.eval_step_full(state, img, mask, camera))
+            if gt_points is not None:
+                ev.update(trainer.evaluate_mesh_vs_gt(
+                    state, gt_points, gt_normals,
+                    resolution=args.eval_mesh_resolution))
             metrics_writer.log(it, ev, prefix="eval_")
             log.info("eval it %05d %s", it,
                      " ".join(f"{k}={v:.4g}" for k, v in ev.items()))
-            if ev["iou"] > best_iou:
-                best_iou = ev["iou"]
-                save("model_best.npz", loss_val_best=ev["iou"])
+            if ev["iou_full"] > best_iou:
+                best_iou = ev["iou_full"]
+                save("model_best.npz", loss_val_best=ev["iou_full"])
         if args.visualize_every > 0 and it > 0 and it % args.visualize_every == 0:
             from isopoints_tpu.utils.meshing import extract_mesh
             from isopoints_tpu.utils.io import save_ply
