@@ -39,14 +39,14 @@ def main():
     params = field.init(jax.random.key(0))
     if jax.default_backend() == "tpu":
         from isopoints_tpu.ops.pallas_mlp import make_fused_igr_sdf
-        # measured: default precision wins for the iterative trace
-        # (1.92M vs 1.80M rays/s); bf16 wins for big batched evals
-        # (projections 785k -> 1.05M/s), used below
-        sdf, _ = make_fused_igr_sdf(field, params, bf16=False)
-        sdf_proj, _ = make_fused_igr_sdf(field, params, bf16=True)
+        # 'f32x3': f32-accurate values from 3-pass bf16 decomposition —
+        # the production default (pallas_mlp.py module docstring);
+        # 'bf16' is the 1-pass variant reported as a labeled extra
+        sdf, _ = make_fused_igr_sdf(field, params, precision="f32x3")
+        sdf_bf16, _ = make_fused_igr_sdf(field, params, precision="bf16")
     else:
         sdf = lambda x: field.sdf(params, x)
-        sdf_proj = sdf
+        sdf_bf16 = sdf
 
     key = jax.random.key(1)
     cam = jnp.asarray([0.0, 0.0, -2.0])
@@ -67,7 +67,8 @@ def main():
     @jax.jit
     def trace(k):
         res = ray_trace(sdf, cam_b, dirs, gt, k, cfg, training=False)
-        return res.dists, res.network_object_mask
+        return (res.dists, res.network_object_mask,
+                res.trace_overflow, res.sampler_overflow)
 
     # compile + warmup
     out = trace(jax.random.key(2))
@@ -101,7 +102,20 @@ def main():
     print(rl.report(), "(upper bound: early-exit rays counted full)",
           file=sys.stderr)
 
-    # secondary BASELINE metric: iso-point Newton projections/s
+    # compaction-overflow check: the bench config's capacities must be
+    # lossless for the measured workload, otherwise rays/s is bought by
+    # silently dropping work (VERDICT r1 "silent correctness caps")
+    ovf_trace, ovf_sampler = int(out[2]), int(out[3])
+    print(f"compaction_overflow: trace={ovf_trace} sampler={ovf_sampler} "
+          f"of {N_RAYS} rays", file=sys.stderr)
+    assert ovf_trace == 0 and ovf_sampler == 0, \
+        (ovf_trace, ovf_sampler, "bench capacities overflowed")
+
+    # secondary BASELINE metric: iso-point Newton projections/s at the
+    # TRAINING tolerance (5e-5, ImplicitConfig.proj_tolerance — the
+    # regime the trainer actually runs). The f32 path converges there;
+    # the bf16 fused variant is reported separately, labeled, because
+    # bf16 resolution cannot reach 5e-5 on every point.
     from isopoints_tpu.models.levelset import project_points_newton
 
     n_pts = 65536 if jax.default_backend() == "tpu" else 1024
@@ -109,21 +123,77 @@ def main():
                               minval=-0.8, maxval=0.8)
     pmask = jnp.ones((1, n_pts), bool)
 
-    @jax.jit
-    def project(p):
-        return project_points_newton(sdf_proj, p, pmask, max_iters=10,
-                                     tolerance=1e-5)
+    def time_projection(fn, label, tolerance=5e-5, max_iters=10):
+        @jax.jit
+        def project(p):
+            return project_points_newton(fn, p, pmask, max_iters=max_iters,
+                                         tolerance=tolerance)
 
-    out2 = project(pts0)
-    jax.block_until_ready(out2)
-    pt = []
+        out = project(pts0)
+        jax.block_until_ready(out)
+        pt = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = project(pts0)
+            jax.block_until_ready(out)
+            pt.append(time.perf_counter() - t0)
+        conv = int(out.mask.sum())
+        rate = n_pts / min(pt)
+        frac = conv / n_pts
+        note = "" if frac >= 0.90 else "  [NOT HEADLINE: <90% converged]"
+        print(f"iso_point_projections_per_s[{label}]: {rate:.0f} "
+              f"(converged {conv}/{n_pts} = {100*frac:.1f}%, "
+              f"tol={tolerance:g}){note}", file=sys.stderr)
+        return rate, frac
+
+    time_projection(sdf, "f32x3")
+    if jax.default_backend() == "tpu":
+        time_projection(sdf_bf16, "bf16-fused")
+
+    # splat rasterization forward+backward throughput (BASELINE M5 axis:
+    # the DSS occupancy-gradient splat path, rendering/rasterizer.py)
+    from isopoints_tpu.core.camera import (
+        PerspectiveCamera,
+        look_at_view_transform,
+    )
+    from isopoints_tpu.rendering.rasterizer import (
+        RasterizationSettings,
+        compute_splat_params,
+        rasterize_splats,
+    )
+
+    n_splat = 24_576 if jax.default_backend() == "tpu" else 2048
+    img_size = 512 if jax.default_backend() == "tpu" else 64
+    k_dir = jax.random.normal(jax.random.key(11), (1, n_splat, 3))
+    sphere_pts = 0.7 * k_dir / jnp.linalg.norm(k_dir, axis=-1, keepdims=True)
+    sphere_nrm = k_dir / jnp.linalg.norm(k_dir, axis=-1, keepdims=True)
+    smask = jnp.ones((1, n_splat), bool)
+    R, T = look_at_view_transform([2.5], [0.0], [0.0])
+    cam512 = PerspectiveCamera.create(R=R, T=T, focal_length=2.0)
+    rset = RasterizationSettings(image_size=img_size)
+
+    @jax.jit
+    def splat_fwd_bwd(pts):
+        def loss_fn(p):
+            sp = compute_splat_params(p, sphere_nrm, smask, cam512, rset)
+            frags = rasterize_splats(sp.pts_ndc, sp.ellipse, sp.radii,
+                                     sp.cutoff, sp.mask, rset)
+            return (jnp.sum(frags.occupancy)
+                    + jnp.sum(jnp.where(frags.zbuf > 0, frags.zbuf, 0.0)))
+        l, g = jax.value_and_grad(loss_fn)(pts)
+        return l, g
+
+    out3 = splat_fwd_bwd(sphere_pts)
+    jax.block_until_ready(out3)
+    st = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out2 = project(pts0)
-        jax.block_until_ready(out2)
-        pt.append(time.perf_counter() - t0)
-    print(f"iso_point_projections_per_s: {n_pts/min(pt):.0f} "
-          f"(converged {int(out2.mask.sum())}/{n_pts})", file=sys.stderr)
+        out3 = splat_fwd_bwd(sphere_pts)
+        jax.block_until_ready(out3)
+        st.append(time.perf_counter() - t0)
+    print(f"splat_fwd_bwd_points_per_s: {n_splat/min(st):.0f} "
+          f"({n_splat} splats @ {img_size}px, {min(st)*1e3:.2f} ms/frame)",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "sphere_traced_rays_per_s_per_chip",
