@@ -89,3 +89,34 @@ def tap_grad(name: str, x: jax.Array) -> jax.Array:
     h = abs(hash(name)) % (2 ** 31)
     _NAMES[h] = name
     return capture_grad(jax.numpy.int32(h), x)
+
+
+@jax.custom_vjp
+def _capture_image_grad(x: jax.Array) -> jax.Array:
+    return x
+
+
+def _capture_image_fwd(x):
+    return x, None
+
+
+def _capture_image_bwd(res, g):
+    del res
+    if _DEBUG:
+        def cb(gv):
+            _STATE.img_mask_grad = np.asarray(gv)
+        jax.debug.callback(cb, g)
+    return (g,)
+
+
+_capture_image_grad.defvjp(_capture_image_fwd, _capture_image_bwd)
+
+
+def tap_image_grad(x: jax.Array) -> jax.Array:
+    """Identity that records the per-pixel mask-image gradient
+    (reference DebuggingTensor.img_mask_grad, DSS/__init__.py:21-31;
+    hooks at point_modeling.py:197-221) into
+    `get_debugging_tensor().img_mask_grad` when debugging is on."""
+    if not _DEBUG:
+        return x
+    return _capture_image_grad(x)

@@ -194,9 +194,12 @@ def plot_3D_quiver(pts_world: Dict[str, np.ndarray],
 
 def plot_2D_quiver(pixels: np.ndarray, grads: np.ndarray,
                    mask_img: np.ndarray, filename: str,
-                   stride: int = 1) -> None:
+                   stride: int = 1,
+                   mask_grad_img: "Optional[np.ndarray]" = None) -> None:
     """Screen-space gradient arrows over the mask image
-    (visualize.py:428-584)."""
+    (visualize.py:428-584). When `mask_grad_img` is given (the
+    DebuggingTensor.img_mask_grad channel), it is shown as a signed
+    heatmap alongside, matching the reference's mask-grad image pane."""
     go = _go()
     mask = np.asarray(mask_img).squeeze()
     pixels = np.asarray(pixels).reshape(-1, 2)[::stride]
@@ -213,7 +216,20 @@ def plot_2D_quiver(pixels: np.ndarray, grads: np.ndarray,
     fig.add_trace(go.Heatmap(z=mask.astype(float), showscale=False,
                              opacity=0.4))
     fig.update_yaxes(autorange="reversed")
-    figures_to_html([fig], filename)
+    figs = [fig]
+    if mask_grad_img is not None:
+        g = np.asarray(mask_grad_img)
+        if g.ndim == 4:              # (B,S,S,1) -> first image
+            g = g[0]
+        if g.ndim == 3:              # (S,S,1) or (B,S,S)
+            g = g[..., 0] if g.shape[-1] == 1 else g[0]
+        gfig = go.Figure(data=[go.Heatmap(
+            z=g.astype(float), colorscale="RdBu", zmid=0.0,
+            showscale=True)])
+        gfig.update_yaxes(autorange="reversed")
+        gfig.update_layout(title="mask-image gradient")
+        figs.append(gfig)
+    figures_to_html(figs, filename)
 
 
 def plot_iso_surface(sdf_fn: Callable, filename: str, resolution: int = 64,

@@ -65,12 +65,25 @@ class ProjectionConfig:
 
 def project_points_newton(sdf_fn: SDFFn, points: jax.Array, mask: jax.Array,
                           max_iters: int = 10, tolerance: float = 5e-5,
-                          step_clip: float = 0.1) -> ProjectionResult:
+                          step_clip: float = 0.1,
+                          mesh=None) -> ProjectionResult:
     """Project points onto the zero level set: p ← p − f·∇f/|∇f|².
 
     Each Newton move is norm-clamped to `step_clip` (reference :336-342).
     Runs as a masked while_loop; one SDF fwd+vjp per iteration.
+
+    With `mesh` (a jax.sharding.Mesh of >1 devices) the point axis is
+    sharded over the mesh — the green-field "points sharded over chips"
+    axis of BASELINE.md config 5. Projection is pointwise so shards
+    need no communication, and each shard's while_loop early-exits
+    independently (a strict win over the full-width loop). Per-point
+    results are bit-identical to the unsharded path because updates
+    are masked per point.
     """
+    if mesh is not None and mesh.devices.size > 1:
+        return _project_points_newton_sharded(
+            sdf_fn, points, mask, mesh, max_iters=max_iters,
+            tolerance=tolerance, step_clip=step_clip)
     sdf0, grad0 = sdf_and_grad(sdf_fn, points)
 
     def cond(state):
@@ -96,12 +109,47 @@ def project_points_newton(sdf_fn: SDFFn, points: jax.Array, mask: jax.Array,
     return ProjectionResult(points=pts, normals=grad, mask=valid)
 
 
+def _project_points_newton_sharded(sdf_fn, points, mask, mesh,
+                                   max_iters, tolerance, step_clip
+                                   ) -> ProjectionResult:
+    """shard_map wrapper: P axis split over the mesh, capacity padded
+    up to a multiple of the device count (padding masked out)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    b, p, _ = points.shape
+    p_pad = -(-p // n_dev) * n_dev
+    if p_pad != p:
+        points = jnp.concatenate(
+            [points, jnp.zeros((b, p_pad - p, 3), points.dtype)], axis=1)
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((b, p_pad - p), bool)], axis=1)
+
+    def body(pts, m):
+        return project_points_newton(sdf_fn, pts, m, max_iters=max_iters,
+                                     tolerance=tolerance,
+                                     step_clip=step_clip)
+
+    spec = PartitionSpec(None, axis)
+    fn = shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                   out_specs=ProjectionResult(spec, spec, spec),
+                   check_vma=False)
+    res = fn(points, mask)
+    if p_pad != p:
+        res = ProjectionResult(res.points[:, :p], res.normals[:, :p],
+                               res.mask[:, :p])
+    return res
+
+
 # ---------------------------------------------------------------------------
 # Repulsion resampling (levelset_sampling.py:239-288)
 # ---------------------------------------------------------------------------
 
 def resample_repulsion(sdf_fn: SDFFn, points: jax.Array, normals: jax.Array,
-                       mask: jax.Array, cfg: ProjectionConfig) -> ProjectionResult:
+                       mask: jax.Array, cfg: ProjectionConfig,
+                       mesh=None) -> ProjectionResult:
     """Uniformize iso-points: density-weighted tangential repulsion move
     followed by a 3-iteration re-projection, `sample_iters` times."""
     if cfg.sample_iters == 0:
@@ -127,7 +175,7 @@ def resample_repulsion(sdf_fn: SDFFn, points: jax.Array, normals: jax.Array,
             eps_denom(jnp.sum(w, axis=-1, keepdims=True), 1e-17)
         pts = jnp.where(m[..., None], pts + move, pts)
         proj = project_points_newton(sdf_fn, pts, m, max_iters=3,
-                                     tolerance=cfg.proj_tolerance)
+                                     tolerance=cfg.proj_tolerance, mesh=mesh)
         return (proj.points, proj.normals, m), proj.mask
 
     (pts, nrm, m), masks = jax.lax.scan(
@@ -326,17 +374,19 @@ def project_points(sdf_fn: SDFFn, points: jax.Array, mask: jax.Array,
                    edge_aware: bool = False,
                    ref_points: Optional[jax.Array] = None,
                    ref_metric: Optional[jax.Array] = None,
-                   ref_mask: Optional[jax.Array] = None) -> ProjectionResult:
+                   ref_mask: Optional[jax.Array] = None,
+                   mesh=None) -> ProjectionResult:
     """Full iso-point extraction: project → resample → (insert | upsample)
     → re-project. Capacity is preserved (upsampling targets the input
     capacity; insertion appends children into free capacity)."""
     proj = project_points_newton(sdf_fn, points, mask,
                                  max_iters=cfg.proj_max_iters,
-                                 tolerance=cfg.proj_tolerance)
+                                 tolerance=cfg.proj_tolerance, mesh=mesh)
     pts, nrm, valid = proj
 
     if not skip_resampling:
-        pts, nrm, valid = resample_repulsion(sdf_fn, pts, nrm, valid, cfg)
+        pts, nrm, valid = resample_repulsion(sdf_fn, pts, nrm, valid, cfg,
+                                             mesh=mesh)
 
     if not skip_upsampling:
         if ref_points is not None:
@@ -345,7 +395,9 @@ def project_points(sdf_fn: SDFFn, points: jax.Array, mask: jax.Array,
             children, cmask = insert_around_salient(
                 pts, valid, ref_points, ref_metric, ref_mask)
             cproj = project_points_newton(sdf_fn, children, cmask,
-                                          max_iters=10, tolerance=cfg.proj_tolerance)
+                                          max_iters=10,
+                                          tolerance=cfg.proj_tolerance,
+                                          mesh=mesh)
             pts, valid, nrm = _append_into_capacity(
                 pts, valid, nrm, cproj.points, cproj.mask, cproj.normals)
         else:
@@ -358,7 +410,8 @@ def project_points(sdf_fn: SDFFn, points: jax.Array, mask: jax.Array,
                                               n_target=num_valid(mask),
                                               neighborhood_size=31)
             proj2 = project_points_newton(sdf_fn, pts, m_up, max_iters=10,
-                                          tolerance=cfg.proj_tolerance)
+                                          tolerance=cfg.proj_tolerance,
+                                          mesh=mesh)
             pts, nrm, valid = proj2
 
     return ProjectionResult(pts, nrm, valid)
@@ -429,8 +482,8 @@ def directional_sample_network(sdf_fn: SDFFn, iso_points: jax.Array,
 def sample_uniform_iso_points(sdf_fn: SDFFn, n_points: int, key: jax.Array,
                               init_points: Optional[jax.Array] = None,
                               bounding_sphere_radius: float = 1.0,
-                              cfg: ProjectionConfig = ProjectionConfig()
-                              ) -> ProjectionResult:
+                              cfg: ProjectionConfig = ProjectionConfig(),
+                              mesh=None) -> ProjectionResult:
     """Bootstrap a uniform iso-point set from scratch: random cube
     points (4× oversampled) → project → WLOP consolidate to n →
     midpoint-upsample to n → final project."""
@@ -442,16 +495,16 @@ def sample_uniform_iso_points(sdf_fn: SDFFn, n_points: int, key: jax.Array,
 
     proj = project_points_newton(sdf_fn, init_points, mask0,
                                  max_iters=cfg.proj_max_iters,
-                                 tolerance=cfg.proj_tolerance)
+                                 tolerance=cfg.proj_tolerance, mesh=mesh)
     inside = jnp.linalg.norm(proj.points, axis=-1) < bounding_sphere_radius
     valid = proj.mask & inside
 
     ratio = max(min(0.5, n_points / init_points.shape[1]), 1e-3)
     x, x_mask = wlop(proj.points, valid, k2, ratio=ratio)
     proj2 = project_points_newton(sdf_fn, x, x_mask, max_iters=10,
-                                  tolerance=cfg.proj_tolerance)
+                                  tolerance=cfg.proj_tolerance, mesh=mesh)
     up, up_mask = midpoint_upsample(proj2.points, proj2.mask, n_points,
                                     neighborhood_size=16)
     final = project_points_newton(sdf_fn, up, up_mask, max_iters=10,
-                                  tolerance=cfg.proj_tolerance)
+                                  tolerance=cfg.proj_tolerance, mesh=mesh)
     return final

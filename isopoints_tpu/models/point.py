@@ -108,6 +108,13 @@ class PointModel:
         settings = self.raster_settings
         out = render_pointcloud(pc.with_features(shaded), camera, settings,
                                 cutoff_scale=scale)
+        # mask-image gradient observability channel (reference hooks the
+        # rendered mask, point_modeling.py:197-221 -> DebuggingTensor
+        # .img_mask_grad); identity unless debugging mode is on
+        from isopoints_tpu.debug import tap_image_grad
+        rgba = jnp.concatenate(
+            [out.rgba[..., :3], tap_image_grad(out.rgba[..., 3:])], axis=-1)
+        out = out._replace(rgba=rgba)
 
         if mask_img is not None:
             pix = camera.project_ndc(pc.points)[..., :2]

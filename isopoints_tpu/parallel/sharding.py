@@ -50,7 +50,8 @@ def make_train_step(model: CombinedModel,
                     optimizer: optax.GradientTransformation,
                     mesh: Mesh, project: bool,
                     n_rays: int, image_size: Tuple[int, int],
-                    n_eikonal_points: int = 1024):
+                    n_eikonal_points: int = 1024,
+                    views_sharded: bool = False):
     """Build THE jitted training step over `mesh` (1-device = single chip).
 
     Sharding layout:
@@ -78,6 +79,16 @@ def make_train_step(model: CombinedModel,
     def shard_body(params, opt_state, points, points_mask, img, mask_img,
                    camera, hp, key):
         i = jax.lax.axis_index(axis)
+        if views_sharded:
+            # multi-host input mode (parallel/data.py): each host ships
+            # only its view shard over PCIe/DCN; replicate on-device
+            # over ICI, then proceed identically to the replicated path
+            img = jax.lax.all_gather(img, axis, axis=0, tiled=True)
+            mask_img = jax.lax.all_gather(mask_img, axis, axis=0,
+                                          tiled=True)
+            camera = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+                camera)
         k_pix, k_loss = jax.random.split(key)
         # full-width replicated pixel sample, local slice
         pix_full = sample_random_pixels(k_pix, n_local * n_dev, image_size,
@@ -110,7 +121,11 @@ def make_train_step(model: CombinedModel,
                 (zero3, zero1, zero1 > 0))
 
     rep = P()
-    in_specs = (rep,) * 9
+    if views_sharded:
+        shd = P(axis)
+        in_specs = (rep, rep, rep, rep, shd, shd, shd, rep, rep)
+    else:
+        in_specs = (rep,) * 9
     out_specs = (rep, rep, rep, rep, rep, (rep, rep, rep))
     sharded = shard_map(shard_body, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)

@@ -334,7 +334,7 @@ class MVRTrainer:
         res = sample_uniform_iso_points(
             f, n_points, self.keys.next(),
             bounding_sphere_radius=self.model.cfg.object_bounding_sphere,
-            cfg=pcfg)
+            cfg=pcfg, mesh=self.mesh if self.mesh.devices.size > 1 else None)
         if (self.cfg.saliency_sampling and self._ref_points is not None
                 and float(jnp.max(self._ref_stat_n)) > 0):
             from isopoints_tpu.models.levelset import project_points
@@ -344,7 +344,8 @@ class MVRTrainer:
                 skip_resampling=True, skip_upsampling=False,
                 ref_points=self._ref_points,
                 ref_metric=self._ref_stat_mean,
-                ref_mask=self._ref_mask & (self._ref_stat_n > 0))
+                ref_mask=self._ref_mask & (self._ref_stat_n > 0),
+                mesh=self.mesh if self.mesh.devices.size > 1 else None)
             return proj.points, proj.mask
         return res.points, res.mask
 
@@ -437,9 +438,25 @@ class MVRTrainer:
         if not get_debugging_mode():
             return None
         dbg = get_debugging_tensor()
-        if not dbg.pts_world:
+        if not dbg.pts_world and dbg.img_mask_grad is None:
             return None
-        path = os.path.join(out_dir, f"{it:010d}_grad_quiver.html")
-        plot_3D_quiver(dbg.pts_world, dbg.pts_world_grad, path, mesh=mesh)
+        path = None
+        if dbg.pts_world:
+            path = os.path.join(out_dir, f"{it:010d}_grad_quiver.html")
+            plot_3D_quiver(dbg.pts_world, dbg.pts_world_grad, path, mesh=mesh)
+        if dbg.img_mask_grad is not None:
+            # mask-image gradient pane (reference plot_2D_quiver's
+            # img_mask_grad heatmap, DSS/misc/visualize.py:428)
+            import numpy as np
+
+            from isopoints_tpu.misc.visualize import plot_2D_quiver
+
+            g = np.asarray(dbg.img_mask_grad)
+            mpath = os.path.join(out_dir, f"{it:010d}_mask_grad.html")
+            plot_2D_quiver(np.zeros((0, 2)), np.zeros((0, 2)),
+                           np.zeros(g.shape[-3:-1] if g.ndim >= 3
+                                    else g.shape),
+                           mpath, mask_grad_img=g)
+            path = path or mpath
         dbg.clear()
         return path

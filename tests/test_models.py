@@ -149,6 +149,43 @@ class TestPointModel:
         g = jax.grad(loss)(params)
         assert bool(jnp.any(g["points"] != 0))
 
+    def test_img_mask_grad_capture(self, tmp_path):
+        """Debug mode captures the per-pixel mask-image gradient
+        (reference DebuggingTensor.img_mask_grad, DSS/__init__.py:21-31)
+        and it equals d(loss)/d(alpha image)."""
+        import os
+
+        import isopoints_tpu.debug as dbg
+        from isopoints_tpu.misc.visualize import plot_2D_quiver
+
+        model = PointModel(PointModelConfig(n_points_per_cloud=128),
+                           RasterizationSettings(image_size=32, tile_size=8))
+        key = jax.random.key(0)
+        d = jax.random.normal(key, (1, 128, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        params = model.init(key, points=0.5 * d, normals=d)
+        cam = make_camera()
+        target = jnp.zeros((1, 32, 32))
+
+        def loss(p):
+            out = model.forward(p, cam)
+            return jnp.sum((out.rgba[..., 3] - target) ** 2)
+
+        dbg.set_debugging_mode_(True)
+        try:
+            out0 = model.forward(params, cam)
+            jax.grad(loss)(params)
+            cap = dbg.get_debugging_tensor().img_mask_grad
+            assert cap is not None and cap.shape == (1, 32, 32, 1)
+            expect = np.asarray(2.0 * out0.rgba[..., 3])
+            np.testing.assert_allclose(cap[..., 0], expect, atol=1e-5)
+            path = os.path.join(str(tmp_path), "mask_grad.html")
+            plot_2D_quiver(np.zeros((0, 2)), np.zeros((0, 2)),
+                           np.zeros((32, 32)), path, mask_grad_img=cap)
+            assert os.path.getsize(path) > 500
+        finally:
+            dbg.set_debugging_mode_(False)
+
 
 class TestCombinedModel:
     def setup_method(self):

@@ -107,6 +107,138 @@ class TestShardedStep:
         assert np.isfinite(float(m2["loss"]))
 
 
+class TestHostShardedViews:
+    def _batch8(self, setup):
+        model, params, camera, img, mask_img = setup
+        R, T = look_at_view_transform([2.0] * 8, list(range(0, 360, 45)),
+                                      [15.0] * 8)
+        cam8 = PerspectiveCamera.create(R=R, T=T, focal_length=2.0)
+        img8 = jnp.tile(img, (8, 1, 1, 1)) * jnp.linspace(
+            0.5, 1.0, 8)[:, None, None, None]
+        mask8 = jnp.tile(mask_img, (8, 1, 1, 1))
+        return model, params, cam8, img8, mask8
+
+    def test_views_sharded_matches_replicated(self, setup):
+        """The multi-host input mode (views batch-sharded over the mesh
+        + on-device all_gather, parallel/data.py) reproduces the
+        replicated-input step exactly on the same global batch."""
+        model, params, cam8, img8, mask8 = self._batch8(setup)
+        mesh = make_mesh(8)
+        optimizer = optax.adam(1e-4)
+        opt_state = optimizer.init(params)
+        points, points_mask = model.init_points(jax.random.key(1))
+        hp = {k: jnp.asarray(v) for k, v in
+              [("lambda_rgb", 1.0), ("lambda_freespace", 1.0),
+               ("lambda_occupied", 1.0), ("lambda_eikonal", 0.01),
+               ("sdf_alpha", 10.0)]}
+        args = (params, opt_state, points, points_mask, img8, mask8,
+                cam8, hp, jax.random.key(3))
+        rep_step = make_train_step(model, optimizer, mesh, project=True,
+                                   n_rays=64, image_size=(32, 32),
+                                   n_eikonal_points=64)
+        shd_step = make_train_step(model, optimizer, mesh, project=True,
+                                   n_rays=64, image_size=(32, 32),
+                                   n_eikonal_points=64, views_sharded=True)
+        p_r, _, pts_r, _, m_r, _ = rep_step(*args)
+        p_s, _, pts_s, _, m_s, _ = shd_step(*args)
+        np.testing.assert_allclose(float(m_r["loss"]), float(m_s["loss"]),
+                                   rtol=1e-5, atol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            p_r, p_s)
+        np.testing.assert_allclose(np.asarray(pts_r), np.asarray(pts_s),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_local_view_indices_partition(self):
+        from isopoints_tpu.parallel.data import local_view_indices
+
+        gidx = list(range(16))
+        parts = [local_view_indices(gidx, process_index=i, process_count=4)
+                 for i in range(4)]
+        np.testing.assert_array_equal(np.concatenate(parts), gidx)
+        with pytest.raises(ValueError):
+            local_view_indices(gidx[:10], process_index=0, process_count=4)
+
+    def test_form_global_batch_sharding(self):
+        from isopoints_tpu.parallel.data import form_global_batch
+
+        mesh = make_mesh(8)
+        x = np.arange(8 * 4 * 4, dtype=np.float32).reshape(8, 4, 4)
+        g = form_global_batch({"img": x}, mesh)["img"]
+        assert g.shape == (8, 4, 4)
+        assert len(g.addressable_shards) == 8
+        # batch axis split: each shard holds one view
+        assert g.addressable_shards[0].data.shape == (1, 4, 4)
+        np.testing.assert_array_equal(np.asarray(g), x)
+
+    def test_host_sharded_views_iterator(self):
+        from isopoints_tpu.parallel.data import HostShardedViews
+
+        class FakeDataset:
+            def __len__(self):
+                return 12
+
+            def __getitem__(self, i):
+                return (np.full((4, 4, 3), float(i), np.float32),
+                        np.ones((4, 4, 1), np.float32))
+
+        # two simulated hosts agree on the global batch and split it
+        a = HostShardedViews(FakeDataset(), global_batch=4, seed=5,
+                             process_index=0, process_count=2)
+        b = HostShardedViews(FakeDataset(), global_batch=4, seed=5,
+                             process_index=1, process_count=2)
+        ia, (img_a, _) = a.next_local()
+        ib, (img_b, _) = b.next_local()
+        assert img_a.shape == (2, 4, 4, 3) and img_b.shape == (2, 4, 4, 3)
+        assert set(ia).isdisjoint(set(ib))
+        np.testing.assert_array_equal(img_a[:, 0, 0, 0], ia.astype(np.float32))
+
+
+class TestShardedProjection:
+    def test_newton_sharded_matches_unsharded(self, setup):
+        """Point-axis-sharded Newton projection (BASELINE config 5
+        "points sharded") is bit-identical to the full-width loop —
+        per-point updates are masked, so the shard split cannot change
+        any point's trajectory. Includes a capacity (100) that does NOT
+        divide the device count (pad path)."""
+        from isopoints_tpu.models.levelset import project_points_newton
+
+        sdf = lambda x: jnp.linalg.norm(x, axis=-1) - 0.6
+        for p in (128, 100):
+            pts = jax.random.uniform(jax.random.key(2), (2, p, 3),
+                                     minval=-0.9, maxval=0.9)
+            msk = jnp.arange(p)[None, :].repeat(2, 0) < (p - 5)
+            r1 = project_points_newton(sdf, pts, msk, max_iters=10,
+                                       tolerance=1e-5)
+            r8 = project_points_newton(sdf, pts, msk, max_iters=10,
+                                       tolerance=1e-5, mesh=make_mesh(8))
+            np.testing.assert_array_equal(np.asarray(r1.points),
+                                          np.asarray(r8.points))
+            np.testing.assert_array_equal(np.asarray(r1.mask),
+                                          np.asarray(r8.mask))
+            np.testing.assert_array_equal(np.asarray(r1.normals),
+                                          np.asarray(r8.normals))
+            assert np.asarray(r8.mask).sum() > 0
+
+    def test_sample_uniform_iso_points_on_mesh(self, setup):
+        """The full bootstrap pipeline accepts a mesh and produces a
+        valid iso-point set with |sdf| <= tol on converged points."""
+        from isopoints_tpu.models.levelset import (
+            ProjectionConfig,
+            sample_uniform_iso_points,
+        )
+
+        sdf = lambda x: jnp.linalg.norm(x, axis=-1) - 0.6
+        res = sample_uniform_iso_points(sdf, 128, jax.random.key(0),
+                                        cfg=ProjectionConfig(),
+                                        mesh=make_mesh(8))
+        pts = np.asarray(res.points)
+        m = np.asarray(res.mask)
+        assert m.sum() > 64
+        assert np.abs(np.linalg.norm(pts[m], axis=-1) - 0.6).max() < 1e-3
+
+
 class TestTrainerOnMesh:
     def test_trainer_train_step_on_mesh(self, setup):
         """MVRTrainer drives the SAME sharded step (the flagship path
