@@ -31,17 +31,53 @@ N_ITERS = 5           # timed calls
 SPHERE_TRACING_ITERS = 10
 
 
+def _fit_sphere_field(field, params, radius=0.6, n_steps=300):
+    """Fit the net to an exact r-sphere SDF so the benchmark traces a
+    REALISTIC field: the raw geometric init puts the zero level at
+    r≈1.0 — coinciding with the bounding sphere, which degenerates the
+    start front (f < 0 at entry ⇒ no marching). 300 Adam steps on the
+    analytic target give a faithful distance field with the same MLP
+    cost. Deterministic (fixed keys)."""
+    import optax
+
+    opt = optax.adam(1e-3)
+
+    def step(carry, key):
+        p, ost = carry
+        pts = jax.random.uniform(key, (8192, 3), minval=-1.2, maxval=1.2)
+        gt = jnp.linalg.norm(pts, axis=-1) - radius
+
+        def loss(p):
+            return jnp.mean((field.sdf(p, pts[None])[0] - gt) ** 2)
+
+        l, g = jax.value_and_grad(loss)(p)
+        up, ost = opt.update(g, ost)
+        return (optax.apply_updates(p, up), ost), l
+
+    keys = jax.random.split(jax.random.key(7), n_steps)
+    (params, _), losses = jax.jit(
+        lambda p, ks: jax.lax.scan(step, (p, opt.init(p)), ks))(params, keys)
+    return params, float(losses[-1])
+
+
 def main():
-    # IGR SDF with geometric init ≈ an r=0.6 sphere: every ray does real
-    # tracing work (no trivial early exit). The fused Pallas MLP keeps
-    # the weight stack in VMEM and streams rays (ops/pallas_mlp.py).
+    import sys
+
+    # 4x256 IGR SDF fitted to an r=0.6 sphere (see _fit_sphere_field):
+    # every ray marches a real distance field from the bounding-sphere
+    # entry to the surface. The fused Pallas MLP keeps the weight stack
+    # in VMEM and streams rays (ops/pallas_mlp.py).
     field = SDFField(hidden_size=256, n_layers=4, num_frequencies=0)
     params = field.init(jax.random.key(0))
+    params, fit_mse = _fit_sphere_field(field, params)
+    print(f"field fitted to r=0.6 sphere, mse {fit_mse:.2e}", file=sys.stderr)
     if jax.default_backend() == "tpu":
         from isopoints_tpu.ops.pallas_mlp import make_fused_igr_sdf
         # 'f32x3': f32-accurate values from 3-pass bf16 decomposition —
         # the production default (pallas_mlp.py module docstring);
-        # 'bf16' is the 1-pass variant reported as a labeled extra
+        # 'bf16' is the 1-pass variant: used as the COARSE phase of the
+        # trace precision schedule and reported separately for
+        # projections
         sdf, _ = make_fused_igr_sdf(field, params, precision="f32x3")
         sdf_bf16, _ = make_fused_igr_sdf(field, params, precision="bf16")
     else:
@@ -56,17 +92,24 @@ def main():
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     cam_b = jnp.broadcast_to(cam, dirs.shape)
     gt = jnp.ones(dirs.shape[:-1], dtype=bool)
+    # schedule tuned on the measured active-ray decay of the fitted
+    # field (100% -> ~61% @ iter 6 on TPU -> ~26% @ iter 10): coarse
+    # bf16 for the first 6 iterations, fine boundary re-validation,
+    # straggler compaction at 0.70 capacity, dense sampler at 0.32
+    # capacity with a coarse sweep + fine bracket re-validation — all
+    # LOSSLESS for this workload (overflow asserted zero below)
     cfg = RayTracingConfig(sphere_tracing_iters=SPHERE_TRACING_ITERS,
                            sampler_chunk_rays=8192,
-                           sampler_fraction=0.25,
-                           # straggler compaction: measured 1.93 -> 2.51M
-                           # rays/s (most rays finish in <=3 iterations)
-                           trace_compact_after=3,
-                           trace_compact_fraction=0.125)
+                           sampler_fraction=0.32,
+                           trace_compact_after=6,
+                           trace_compact_fraction=0.70,
+                           coarse_trace_iters=6,
+                           sampler_coarse=True)
 
     @jax.jit
     def trace(k):
-        res = ray_trace(sdf, cam_b, dirs, gt, k, cfg, training=False)
+        res = ray_trace(sdf, cam_b, dirs, gt, k, cfg, training=False,
+                        sdf_fn_coarse=sdf_bf16)
         return (res.dists, res.network_object_mask,
                 res.trace_overflow, res.sampler_overflow)
 

@@ -76,6 +76,12 @@ class ImplicitConfig:
     # Pallas SDF-MLP kernels (ops/pallas_mlp.py) when the decoder
     # supports it; loss-path decoder evals keep the plain (θ-diff) field
     use_fused_mlp: bool = False
+    # coarse/fine trace precision schedule: run the first N sphere-
+    # tracing iterations with the 1-pass bf16 fused kernel (~1.67x
+    # faster), then re-validate and finish at fine precision
+    # (RayTracingConfig.coarse_trace_iters). Requires use_fused_mlp;
+    # 0 = off.
+    coarse_trace_iters: int = 0
 
 
 class ImplicitModel:
@@ -97,7 +103,8 @@ class ImplicitModel:
         self.raytrace_cfg = RayTracingConfig(
             object_bounding_sphere=cfg.object_bounding_sphere,
             sdf_threshold=cfg.proj_tolerance,
-            sphere_tracing_iters=cfg.proj_max_iters)
+            sphere_tracing_iters=cfg.proj_max_iters,
+            coarse_trace_iters=cfg.coarse_trace_iters)
         self.proj_cfg = ProjectionConfig(
             proj_max_iters=cfg.proj_max_iters,
             proj_tolerance=cfg.proj_tolerance)
@@ -132,6 +139,17 @@ class ImplicitModel:
             if fused is not None:
                 return fused
         return self.sdf_fn(params)
+
+    def trace_sdf_fn_coarse(self, params):
+        """1-pass bf16 fused kernel for the coarse phase of the trace
+        precision schedule, or None when unavailable/disabled (then the
+        tracer runs fine-only). Same stop-gradient contract as
+        `trace_sdf_fn`."""
+        if not (self.cfg.use_fused_mlp and self.cfg.coarse_trace_iters > 0):
+            return None
+        from isopoints_tpu.ops.pallas_mlp import make_fused_sdf_fn
+        frozen = jax.lax.stop_gradient(params["decoder"])
+        return make_fused_sdf_fn(self.decoder, frozen, precision="bf16")
 
     def decode(self, params, x) -> FieldOutput:
         return self.decoder.apply(params["decoder"], x)
@@ -208,7 +226,8 @@ class ImplicitModel:
         cam_pos = camera.camera_center()[:, None, :]
         _, dirs = camera.ndc_to_rays(ndc_pixels)
         res = ray_trace(f, cam_pos, dirs, mask_gt, key,
-                        self.raytrace_cfg, training=training)
+                        self.raytrace_cfg, training=training,
+                        sdf_fn_coarse=self.trace_sdf_fn_coarse(params))
         iso_points = res.points
         if training:
             iso_points = directional_sample_network(

@@ -207,6 +207,23 @@ class RayTracingConfig:
     # exits when EVERY ray is done).
     trace_compact_after: int = 0
     trace_compact_fraction: float = 0.25
+    # coarse/fine precision schedule: run the first `coarse_trace_iters`
+    # sphere-tracing iterations with `sdf_fn_coarse` (e.g. the 1-pass
+    # bf16 fused MLP, ~1.67x faster than f32x3), then re-validate ALL
+    # fronts full-width with the fine fn and finish with it. The coarse
+    # phase only moves fronts that are still far from the surface; the
+    # fine boundary re-validation resurrects any front the coarse noise
+    # stopped early, so converged rays always satisfy |f_fine| <= thr.
+    # Fronts judged crossed (f < 0) get the same treatment as in the
+    # pure path (stop where the backstep left them; the noise adds
+    # <= ~1e-3 depth error to that already-imprecise class). 0 = off.
+    coarse_trace_iters: int = 0
+    # run the dense sampler's n_steps sweep with the coarse fn too; the
+    # secant BRACKET endpoints are then re-evaluated at fine precision
+    # (2 extra evals/ray vs n_steps saved), so the secant refinement and
+    # the surface-hit decision rest on fine values. Identity when the
+    # coarse fn equals the fine fn.
+    sampler_coarse: bool = False
 
 
 def _eval_sdf_chunked(sdf_fn: SDFFn, pts: jax.Array, chunk_rays: int
@@ -271,7 +288,8 @@ def _secant_scan(sdf_fn: SDFFn, f_low, f_high, z_low, z_high, origins, dirs,
 
 def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
                                 mask_intersect, t_near, t_far,
-                                cfg: RayTracingConfig):
+                                cfg: RayTracingConfig,
+                                sdf_fn_coarse: Optional[SDFFn] = None):
     """March start (+) and end (−) fronts until both stall or cross.
 
     Parity: RayTracing.sphere_tracing (levelset_sampling.py:920-1032)
@@ -285,11 +303,13 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
     """
     thr = cfg.sdf_threshold
 
-    def make_loop(cam, dirs, start_it: int, max_iters: int):
+    def make_loop(cam, dirs, start_it: int, max_iters: int, fn=None):
+        fn = fn or sdf_fn
+
         def eval_pair(ts, te):
             # both fronts in ONE batched eval: halves kernel launches
             # in the hot loop (matters with the fused Pallas MLP)
-            both = sdf_fn(jnp.concatenate(
+            both = fn(jnp.concatenate(
                 [cam + ts[..., None] * dirs,
                  cam + te[..., None] * dirs], axis=-2))
             n = ts.shape[-1]
@@ -335,18 +355,48 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
 
         return run, eval_pair
 
-    run_full, eval_pair = make_loop(cam_loc, ray_dirs, 0,
-                                    min(cfg.trace_compact_after,
-                                        cfg.sphere_tracing_iters)
-                                    if cfg.trace_compact_after > 0
-                                    else cfg.sphere_tracing_iters)
-    sdf_start0, sdf_end0 = eval_pair(t_near, t_far)
-    sdf_start0 = jnp.where(mask_intersect, sdf_start0, 0.0)
-    sdf_end0 = jnp.where(mask_intersect, sdf_end0, 0.0)
-    un_s0 = mask_intersect & (sdf_start0 > thr)
-    un_e0 = mask_intersect & (sdf_end0 > thr)
-    state = run_full((t_near, t_far, sdf_start0, sdf_end0, un_s0, un_e0,
-                      jnp.int32(0)))
+    full_end = (min(cfg.trace_compact_after, cfg.sphere_tracing_iters)
+                if cfg.trace_compact_after > 0
+                else cfg.sphere_tracing_iters)
+    coarse_end = (min(cfg.coarse_trace_iters, full_end)
+                  if sdf_fn_coarse is not None else 0)
+
+    _, eval_pair = make_loop(cam_loc, ray_dirs, 0, 0)
+
+    if coarse_end > 0:
+        # ---- coarse phase: march the easy distance with the fast fn
+        run_coarse, eval_pair_c = make_loop(cam_loc, ray_dirs, 0,
+                                            coarse_end, fn=sdf_fn_coarse)
+        c_s0, c_e0 = eval_pair_c(t_near, t_far)
+        c_s0 = jnp.where(mask_intersect, c_s0, 0.0)
+        c_e0 = jnp.where(mask_intersect, c_e0, 0.0)
+        state = run_coarse((t_near, t_far, c_s0, c_e0,
+                            mask_intersect & (c_s0 > thr),
+                            mask_intersect & (c_e0 > thr), jnp.int32(0)))
+        acc_s, acc_e = state[0], state[1]
+        # ---- boundary re-validation at FINE precision: recompute the
+        # front states from scratch so coarse noise can neither leave a
+        # ray converged at |f_fine| > thr nor stop a front early.
+        # Identity when sdf_fn_coarse == sdf_fn (fronts are stationary
+        # once stopped and evals are deterministic).
+        sdf_s, sdf_e = eval_pair(acc_s, acc_e)
+        sdf_s = jnp.where(mask_intersect, sdf_s, 0.0)
+        sdf_e = jnp.where(mask_intersect, sdf_e, 0.0)
+        not_crossed = acc_s < acc_e
+        un_s0 = mask_intersect & (sdf_s > thr) & not_crossed
+        un_e0 = mask_intersect & (sdf_e > thr) & not_crossed
+        sdf_start0, sdf_end0, start_state = sdf_s, sdf_e, (acc_s, acc_e)
+    else:
+        sdf_start0, sdf_end0 = eval_pair(t_near, t_far)
+        sdf_start0 = jnp.where(mask_intersect, sdf_start0, 0.0)
+        sdf_end0 = jnp.where(mask_intersect, sdf_end0, 0.0)
+        un_s0 = mask_intersect & (sdf_start0 > thr)
+        un_e0 = mask_intersect & (sdf_end0 > thr)
+        start_state = (t_near, t_far)
+
+    run_full, _ = make_loop(cam_loc, ray_dirs, coarse_end, full_end)
+    state = run_full(start_state + (sdf_start0, sdf_end0, un_s0, un_e0,
+                                    jnp.int32(0)))
     acc_s, acc_e, sdf_s, sdf_e, un_s, un_e, it = state
 
     no_overflow = jnp.zeros((), jnp.int32)
@@ -391,18 +441,23 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
 
 def _dense_ray_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
                        t_lo, t_hi, sampler_mask, cfg: RayTracingConfig,
-                       training: bool):
+                       training: bool,
+                       sdf_fn_coarse: Optional[SDFFn] = None):
     """Uniform n_steps sampling + first-sign-change pick + secant.
 
     Parity: RayTracing.ray_sampler (levelset_sampling.py:1034-1112).
     Full-width: evaluates every ray; `sampler_mask` only gates which
-    results the caller takes.
+    results the caller takes. With `cfg.sampler_coarse` the n_steps
+    sweep runs on the coarse fn and the secant bracket endpoints are
+    re-evaluated fine (see RayTracingConfig).
     """
     n = cfg.n_steps
+    use_coarse = cfg.sampler_coarse and sdf_fn_coarse is not None
+    fn_dense = sdf_fn_coarse if use_coarse else sdf_fn
     steps = jnp.linspace(0.0, 1.0, n)
     ts = t_lo[..., None] + steps * (t_hi - t_lo)[..., None]        # (B,N,S)
     pts = cam_loc[..., None, :] + ts[..., None] * ray_dirs[..., None, :]
-    sdf_val = _eval_sdf_chunked(sdf_fn, pts, cfg.sampler_chunk_rays)  # (B,N,S)
+    sdf_val = _eval_sdf_chunked(fn_dense, pts, cfg.sampler_chunk_rays)  # (B,N,S)
 
     # first sign change: sign(f_i)·countdown argmin (reference :1061-1063)
     countdown = jnp.arange(n, 0, -1, dtype=sdf_val.dtype)
@@ -413,7 +468,6 @@ def _dense_ray_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
     pick = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
     t_pick = pick(ts, idx)
     f_pick = pick(sdf_val, idx)
-    net_surface = f_pick < 0
 
     # P_out pixels: minimal-SDF point on the ray
     idx_min = jnp.argmin(sdf_val, axis=-1)
@@ -423,6 +477,14 @@ def _dense_ray_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
     idx_lo = jnp.maximum(idx - 1, 0)
     z_low = pick(ts, idx_lo)
     f_low = pick(sdf_val, idx_lo)
+    if use_coarse:
+        # fine re-validation of the bracket: the hit decision and the
+        # secant refinement must not rest on coarse values
+        t2 = jnp.stack([z_low, t_pick], axis=-1)                  # (B,N,2)
+        p2 = cam_loc[..., None, :] + t2[..., None] * ray_dirs[..., None, :]
+        f2 = sdf_fn(p2)
+        f_low, f_pick = f2[..., 0], f2[..., 1]
+    net_surface = f_pick < 0
     z_secant = _secant_scan(sdf_fn, f_low, f_pick, z_low, t_pick,
                             cam_loc, ray_dirs, cfg.n_secant_steps)
 
@@ -450,7 +512,8 @@ def _minimal_sdf_points(sdf_fn: SDFFn, key, cam_loc, ray_dirs, t_lo, t_hi,
 def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
               object_mask: jax.Array, key: jax.Array,
               cfg: RayTracingConfig = RayTracingConfig(),
-              training: bool = True) -> RayTraceResult:
+              training: bool = True,
+              sdf_fn_coarse: Optional[SDFFn] = None) -> RayTraceResult:
     """Full IDR ray tracing (RayTracing.forward, levelset_sampling.py:830-920).
 
     Pipeline: bounding-sphere interval → bidirectional sphere tracing →
@@ -474,7 +537,8 @@ def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
     t_far = jnp.sum((far - cam_loc) * ray_dirs, axis=-1)
 
     acc_s, acc_e, unfinished, trace_overflow = _bidirectional_sphere_trace(
-        sdf_fn, cam_loc, ray_dirs, mask_intersect, t_near, t_far, cfg)
+        sdf_fn, cam_loc, ray_dirs, mask_intersect, t_near, t_far, cfg,
+        sdf_fn_coarse=sdf_fn_coarse)
 
     dists = jnp.where(mask_intersect, acc_s, 0.0)
     network_object_mask = (acc_s < acc_e) & mask_intersect
@@ -485,7 +549,7 @@ def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
     if cfg.sampler_fraction >= 1.0:
         s_pts, s_t, s_obj = _dense_ray_sampler(
             sdf_fn, k1, cam_loc, ray_dirs, object_mask, acc_s, acc_e,
-            sampler_mask, cfg, training)
+            sampler_mask, cfg, training, sdf_fn_coarse=sdf_fn_coarse)
         dists = jnp.where(sampler_mask, s_t, dists)
         network_object_mask = jnp.where(sampler_mask, s_obj,
                                         network_object_mask)
@@ -501,7 +565,8 @@ def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
         g3 = lambda a: jnp.take_along_axis(a, sel[..., None], axis=1)
         s_pts, s_t, s_obj = _dense_ray_sampler(
             sdf_fn, k1, g3(cam_loc), g3(ray_dirs), g2(object_mask),
-            g2(acc_s), g2(acc_e), sel_ok, cfg, training)
+            g2(acc_s), g2(acc_e), sel_ok, cfg, training,
+            sdf_fn_coarse=sdf_fn_coarse)
         scatter = lambda dst, src: jax.vmap(
             lambda d, i, v, ok: d.at[jnp.where(ok, i, n)].set(
                 jnp.where(ok, v, jnp.zeros((), v.dtype)), mode="drop")

@@ -272,6 +272,88 @@ class TestTraceCompaction:
         assert np.abs(np.asarray(f(res.points))[hits]).max() < 1e-3
 
 
+def _ray_fan(n=128, seed=9, z=-2.5):
+    cam = jnp.broadcast_to(jnp.array([0.0, 0.0, z]), (1, n, 3))
+    ang = jax.random.uniform(jax.random.key(seed), (1, n, 2),
+                             minval=-0.3, maxval=0.3)
+    d = jnp.stack([jnp.tan(ang[..., 0]), jnp.tan(ang[..., 1]),
+                   jnp.ones((1, n))], axis=-1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return cam, d, jnp.ones((1, n), bool)
+
+
+class TestCoarseFineTrace:
+    def test_coarse_equals_fine_is_identity(self):
+        """With sdf_fn_coarse == sdf_fn, the coarse/fine schedule is
+        exactly the plain trace (the boundary re-validation recomputes
+        the same stationary front states)."""
+        f = torus_sdf()
+        cam, d, gt = _ray_fan()
+        full = ray_trace(f, cam, d, gt, jax.random.key(1),
+                         RayTracingConfig(sphere_tracing_iters=20),
+                         training=False)
+        sched = ray_trace(f, cam, d, gt, jax.random.key(1),
+                          RayTracingConfig(sphere_tracing_iters=20,
+                                           coarse_trace_iters=8,
+                                           sampler_coarse=True),
+                          training=False, sdf_fn_coarse=f)
+        np.testing.assert_array_equal(
+            np.asarray(full.network_object_mask),
+            np.asarray(sched.network_object_mask))
+        np.testing.assert_array_equal(np.asarray(full.dists),
+                                      np.asarray(sched.dists))
+
+    def test_noisy_coarse_still_converges_fine(self):
+        """A bf16-like noisy coarse fn (~1e-3 value error) must not
+        degrade the result: converged rays satisfy |f_fine| small and
+        the hit mask matches the pure-fine trace."""
+        f = sphere_sdf()
+
+        def f_noisy(x):
+            v = f(x)
+            # deterministic pseudo-noise at bf16-accumulation scale
+            n = 1e-3 * jnp.sin(1e3 * jnp.sum(x, axis=-1))
+            return v + n
+
+        cam, d, gt = _ray_fan(seed=11)
+        pure = ray_trace(f, cam, d, gt, jax.random.key(1),
+                         RayTracingConfig(sphere_tracing_iters=24),
+                         training=False)
+        sched = ray_trace(f, cam, d, gt, jax.random.key(1),
+                          RayTracingConfig(sphere_tracing_iters=24,
+                                           coarse_trace_iters=10,
+                                           sampler_coarse=True),
+                          training=False, sdf_fn_coarse=f_noisy)
+        hits = np.asarray(sched.network_object_mask)
+        assert hits.sum() > 0
+        # every claimed hit lies on the true surface
+        assert np.abs(np.asarray(f(sched.points))[hits]).max() < 1e-3
+        agree = (hits == np.asarray(pure.network_object_mask)).mean()
+        assert agree > 0.98
+        both = hits & np.asarray(pure.network_object_mask)
+        np.testing.assert_allclose(np.asarray(sched.dists)[both],
+                                   np.asarray(pure.dists)[both], atol=5e-3)
+
+    def test_coarse_with_compaction(self):
+        """Schedule composes with two-phase straggler compaction."""
+        f = sphere_sdf()
+        cam, d, gt = _ray_fan(seed=12)
+        full = ray_trace(f, cam, d, gt, jax.random.key(1),
+                         RayTracingConfig(sphere_tracing_iters=20),
+                         training=False)
+        sched = ray_trace(f, cam, d, gt, jax.random.key(1),
+                          RayTracingConfig(sphere_tracing_iters=20,
+                                           coarse_trace_iters=6,
+                                           trace_compact_after=8,
+                                           trace_compact_fraction=0.99),
+                          training=False, sdf_fn_coarse=f)
+        np.testing.assert_array_equal(
+            np.asarray(full.network_object_mask),
+            np.asarray(sched.network_object_mask))
+        np.testing.assert_allclose(np.asarray(full.dists),
+                                   np.asarray(sched.dists), atol=1e-5)
+
+
 class TestOverflowCounters:
     """Compaction-overflow observability (RayTraceResult counters)."""
 
