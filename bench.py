@@ -213,7 +213,10 @@ def main():
     smask = jnp.ones((1, n_splat), bool)
     R, T = look_at_view_transform([2.5], [0.0], [0.0])
     cam512 = PerspectiveCamera.create(R=R, T=T, focal_length=2.0)
-    rset = RasterizationSettings(image_size=img_size)
+    # Pallas fine stage wins at this frame scale (pallas_splat.py
+    # header: 63 vs 107 ms/frame fwd at 512px/24k splats)
+    rset = RasterizationSettings(image_size=img_size,
+                                 use_pallas=jax.default_backend() == "tpu")
 
     @jax.jit
     def splat_fwd_bwd(pts):

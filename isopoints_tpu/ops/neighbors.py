@@ -99,6 +99,19 @@ def knn_points(
         if exclude_self:
             self_hit = qi[None, :, None] == jnp.arange(p)[None, None, :]
             d = jnp.where(self_hit, _BIG, d)
+        if kk <= 16:
+            # kk masked-min sweeps: EXACT, same ascending order and
+            # first-occurrence tie-breaking as top_k, but ~8x faster on
+            # TPU for small k (lax.top_k sorts the whole row: measured
+            # 716 ms vs 89 ms for the 24k-point EWA-setup kNN)
+            vals, idxs = [], []
+            for _ in range(kk):
+                i = jnp.argmin(d, axis=-1)                 # (B, bs)
+                v = jnp.take_along_axis(d, i[..., None], axis=-1)[..., 0]
+                vals.append(v)
+                idxs.append(i)
+                d = d + jax.nn.one_hot(i, d.shape[-1], dtype=d.dtype) * _BIG
+            return jnp.stack(vals, -1), jnp.stack(idxs, -1)
         neg_top, top_idx = jax.lax.top_k(-d, kk)  # (B, bs, kk)
         return -neg_top, top_idx
 

@@ -15,15 +15,17 @@ The coarse stage (per-tile front-most candidate selection) stays in
 XLA — a single batched `top_k`, the analogue of the reference building
 bin lists outside the fine kernel.
 
-MEASURED (TPU v5e, S=128, M=256, K=5, 4096 splats): the XLA tiled path
-runs at 0.2 ms/frame vs 30 ms for this kernel — XLA's fused
-top_k-over-candidates is already at speed-of-light for this op (the
-K argmin sweeps here are cross-lane VPU reductions and the tile grid
-serializes). The kernel is kept as a validated alternative
-(`RasterizationSettings.use_pallas`, default OFF) and as the substrate
-for future fusion of the per-point EWA setup into the same pass;
-agreement with the XLA path is covered by tests on CPU (interpret) and
-was confirmed bit-exact on TPU hardware.
+MEASURED (TPU v5e): scale decides the winner.
+  * S=128, 4096 splats: XLA 0.2 ms/frame vs 30 ms for this kernel
+    (the tile grid serializes; launch overhead dominates).
+  * S=512, 24576 splats, M=256, K=5 (production/bench scale): this
+    kernel 63 ms vs 107 ms for the XLA path — the XLA fine stage
+    materializes (nt·T², M) score tensors through HBM while this
+    kernel keeps them in VMEM.
+Default remains OFF (`RasterizationSettings.use_pallas`); enable for
+large frames (≥512 px, ≥10k splats) — bench.py does. Agreement with
+the XLA path is covered by tests on CPU (interpret) and was confirmed
+bit-exact on TPU hardware.
 """
 
 from functools import partial

@@ -63,12 +63,22 @@ class RasterizationSettings:
     Vrk_invariant: bool = False      # global h_k (reference Vrk_invariant)
     Vrk_isotropic: bool = True
     radii_backward_scaler: float = 10.0
+    # static pixel-patch side for the occupancy backward's per-point
+    # gather window (must cover 2·search_r·S/2 + 4 pixels; see
+    # _occ_backward_one)
+    backward_patch_pixels: int = 64
     antialiasing_sigma: float = 1.0
     backface_culling: bool = True
     clip_pts_grad: float = -1.0
     # TPU tiling knobs (replace bin_size / max_points_per_bin)
     tile_size: int = 16
     max_points_per_tile: int = 256
+    # strip-level candidate pre-filter: per tile ROW, the front-most
+    # splats overlapping the strip are selected first (top_k over P),
+    # then per-tile candidates come from that subset — turns the
+    # per-tile top_k from O(nt·P) into O(P + nt·strip). Same front-most
+    # capacity semantics as max_points_per_tile, one level up.
+    max_points_per_strip: int = 2048
     knn_k: int = 7
     # run the fine stage as a Pallas kernel (rendering/pallas_splat.py):
     # K masked-min sweeps in VMEM instead of per-pixel top_k sorts
@@ -227,12 +237,24 @@ def _pixel_ndc(idx: jax.Array, size: int) -> jax.Array:
     return (size - 2.0 * idx.astype(jnp.float32) - 1.0) / size
 
 
-def _tile_candidates(px, py, z, rx, ry, valid, cy, cx, half, m):
+def _tile_candidates(px, py, z, rx, ry, valid, cy, cx, half, m,
+                     strip_cap: int = 0):
     """Select the `m` front-most splats whose bbox touches the tile.
 
     Returns (cand_idx (nt, m), cand_ok (nt, m)) for one row of tiles.
     cy is scalar (tile-row center), cx (nt,) per-tile centers.
+    With `strip_cap` > 0 and P > strip_cap, a strip-level top_k first
+    narrows to the front-most splats overlapping the whole tile row.
     """
+    if strip_cap and px.shape[0] > strip_cap:
+        strip = (jnp.abs(py - cy) <= (ry + half)) & valid     # (P,)
+        sscore = jnp.where(strip, -z, -_BIG)
+        neg_sz, sidx = jax.lax.top_k(sscore, strip_cap)       # (R,)
+        s_ok = neg_sz > -_BIG * 0.5
+        cand_l, ok_l = _tile_candidates(
+            px[sidx], py[sidx], z[sidx], rx[sidx], ry[sidx],
+            s_ok, cy, cx, half, m)
+        return sidx[cand_l], ok_l
     overlap_y = jnp.abs(py - cy) <= (ry + half)               # (P,)
     overlap = overlap_y[None, :] & \
         (jnp.abs(px[None, :] - cx[:, None]) <= (rx[None, :] + half))  # (nt, P)
@@ -270,7 +292,8 @@ def _rasterize_one(pts, ellipse, radii, cutoff, valid,
         ys = _pixel_ndc(rows, S)                              # (T,)
         cy = 0.5 * (ys[0] + ys[-1])
         cand_idx, cand_ok = _tile_candidates(
-            px, py, z, rx, ry, valid, cy, tile_centers_x, half, M)  # (nt, M)
+            px, py, z, rx, ry, valid, cy, tile_centers_x, half, M,
+            strip_cap=s.max_points_per_strip)                  # (nt, M)
 
         g = lambda v: v[cand_idx]                              # (nt, M)
         cpx, cpy, cz = g(px), g(py), g(z)
@@ -329,7 +352,8 @@ def _rasterize_one_pallas(pts, ellipse, radii, cutoff, valid, xs, half,
         ys = _pixel_ndc(rows, S)
         cy = 0.5 * (ys[0] + ys[-1])
         return _tile_candidates(px, py, z, rx, ry, valid, cy,
-                                tile_centers_x, half, M)
+                                tile_centers_x, half, M,
+                                strip_cap=s.max_points_per_strip)
 
     cand_idx, cand_ok = jax.lax.map(row_candidates, jnp.arange(nt))
     cand_idx = cand_idx.reshape(nt * nt, M)
@@ -370,11 +394,21 @@ def _occ_backward_one(pts, radii, visible, grad_occ,
     the point's UNSCALED splat bbox. (The slow CUDA and CPU variants
     use per-point scaled-bbox windows — with differing inner tests —
     but they are not the production path.)
+
+    TPU formulation: per-POINT gather over a static (W, W) pixel patch
+    of the grad_occ image centered on the point (the pixel grid is
+    regular, so "all pixels within search_r of the point" is a fixed
+    window) — no per-tile candidate cap (the previous tile formulation
+    dropped gradients when >max_points_per_tile points fell in a tile's
+    search window), no top_k, no scatter: the per-point sums come out
+    point-major. W = `backward_patch_pixels`; the search radius is
+    clamped to (W/2 − 2) pixels so the patch always covers the window
+    (at the default W=64 the clamp only binds for degenerate
+    median-radius × 10 windows wider than 60 px).
     """
     s = settings
-    S, T = s.image_size, s.tile_size
-    M = min(s.max_points_per_tile, pts.shape[0])
-    nt = S // T
+    S = s.image_size
+    W = min(s.backward_patch_pixels, S)
     rs = s.radii_backward_scaler
 
     px, py, z = pts[:, 0], pts[:, 1], pts[:, 2]
@@ -385,47 +419,58 @@ def _occ_backward_one(pts, radii, visible, grad_occ,
     # times the backward scaler (rasterizer.py:884)
     r_flat = jnp.where(renderable[:, None], radii, jnp.nan).reshape(-1)
     search_r = jnp.nan_to_num(jnp.nanmedian(r_flat), nan=1e-3) * rs
+    if W < S:
+        # static-capacity cap: the patch must cover the window (when
+        # the patch IS the image, any radius is covered exactly)
+        search_r = jnp.minimum(search_r, (W / 2.0 - 2.0) * 2.0 / S)
     search_r2 = search_r * search_r
 
-    cols = jnp.arange(S)
-    xs = _pixel_ndc(cols, S)
-    half = float(T - 1) / S
-    tile_centers_x = 0.5 * (xs[::T] + xs[T - 1::T])
-    grad_occ = grad_occ.reshape(nt, T, nt, T)                  # (ti, r, tj, c)
+    # point pixel indices: ndc = (S − 2i − 1)/S  ⇒  i = (S(1 − ndc) − 1)/2
+    # (nan_to_num: masked/invalid points may carry non-finite coords;
+    # their patches are gated off by `renderable` but the slice offsets
+    # must still be well-defined integers)
+    col_f = jnp.nan_to_num((S * (1.0 - px) - 1.0) * 0.5)
+    row_f = jnp.nan_to_num((S * (1.0 - py) - 1.0) * 0.5)
+    c0 = jnp.clip(jnp.round(col_f).astype(jnp.int32) - W // 2, 0, S - W)
+    r0 = jnp.clip(jnp.round(row_f).astype(jnp.int32) - W // 2, 0, S - W)
 
-    def row_fn(ti):
-        rows = ti * T + jnp.arange(T)
-        ys = _pixel_ndc(rows, S)
-        cy = 0.5 * (ys[0] + ys[-1])
-        rad_x = jnp.full_like(px, 1.0) * search_r
-        cand_idx, cand_ok = _tile_candidates(
-            px, py, z, rad_x, rad_x, renderable, cy, tile_centers_x, half, M)
+    n_pts = pts.shape[0]
+    chunk = max(min(2048, n_pts), 1)
+    pad = (-n_pts) % chunk
+    pad_fn = lambda a, v: jnp.concatenate(
+        [a, jnp.full((pad,) + a.shape[1:], v, a.dtype)], 0) if pad else a
+    cpx = pad_fn(px, 0.0).reshape(-1, chunk)
+    cpy = pad_fn(py, 0.0).reshape(-1, chunk)
+    crx = pad_fn(rx, 0.0).reshape(-1, chunk)
+    cry = pad_fn(ry, 0.0).reshape(-1, chunk)
+    cc0 = pad_fn(c0, 0).reshape(-1, chunk)
+    cr0 = pad_fn(r0, 0).reshape(-1, chunk)
+    cren = pad_fn(renderable, False).reshape(-1, chunk)
+    w_idx = jnp.arange(W)
 
-        g = lambda v: v[cand_idx]
-        cpx, cpy = g(px), g(py)
-        crx, cry = g(rx), g(ry)
-        go = grad_occ[ti].transpose(1, 0, 2)                   # (nt, T_row, T_col)
-
-        dx = xs.reshape(nt, T)[:, None, :, None] - cpx[:, None, None, :]
-        dy = ys[None, :, None, None] - cpy[:, None, None, :]
+    def chunk_fn(args):
+        qx, qy, qrx, qry, qc0, qr0, qok = args
+        patch = jax.vmap(
+            lambda r, c: jax.lax.dynamic_slice(grad_occ, (r, c), (W, W))
+        )(qr0, qc0)                                            # (n, W, W)
+        # patch pixel centers in NDC: rows vary dy, cols vary dx
+        xs_p = _pixel_ndc(qc0[:, None] + w_idx[None, :], S)    # (n, W)
+        ys_p = _pixel_ndc(qr0[:, None] + w_idx[None, :], S)    # (n, W)
+        dx = xs_p[:, None, :] - qx[:, None, None]              # (n, 1->W, W)
+        dy = ys_p[:, :, None] - qy[:, None, None]              # (n, W, 1->W)
         dist2 = dx * dx + dy * dy
-        in_window = dist2 <= search_r2
-        outside_splat = (jnp.abs(dx) > crx[:, None, None, :]) | \
-                        (jnp.abs(dy) > cry[:, None, None, :])
-        gop = go[..., None]                                    # (nt, T, T, 1)
-        use = in_window & cand_ok[:, None, None, :] & (gop != 0.0) & \
-            ~((gop > 0.0) & outside_splat)
+        outside_splat = (jnp.abs(dx) > qrx[:, None, None]) | \
+                        (jnp.abs(dy) > qry[:, None, None])
+        use = (dist2 <= search_r2) & (patch != 0.0) & qok[:, None, None] & \
+            ~((patch > 0.0) & outside_splat)
         denom = eps_denom(dist2, 1e-10)
-        gx = jnp.where(use, dx / denom * gop, 0.0).sum(axis=(1, 2))   # (nt, M)
-        gy = jnp.where(use, dy / denom * gop, 0.0).sum(axis=(1, 2))
-        return cand_idx, gx, gy
+        gx = jnp.where(use, dx / denom * patch, 0.0).sum(axis=(1, 2))
+        gy = jnp.where(use, dy / denom * patch, 0.0).sum(axis=(1, 2))
+        return gx, gy
 
-    cand_idx, gx, gy = jax.lax.map(row_fn, jnp.arange(nt))     # (nt, nt, M)
-    flat_idx = cand_idx.reshape(-1)
-    grad = jnp.zeros((pts.shape[0], 2), pts.dtype)
-    grad = grad.at[flat_idx, 0].add(gx.reshape(-1), mode="drop")
-    grad = grad.at[flat_idx, 1].add(gy.reshape(-1), mode="drop")
-    return grad
+    gx, gy = jax.lax.map(chunk_fn, (cpx, cpy, crx, cry, cc0, cr0, cren))
+    grad = jnp.stack([gx.reshape(-1)[:n_pts], gy.reshape(-1)[:n_pts]], -1)
+    return grad.astype(pts.dtype)
 
 
 def _rasterize_fwd_impl(pts_ndc, ellipse, radii, cutoff, mask, settings):

@@ -374,3 +374,47 @@ class TestPixelGradParity:
         scale = max(np.abs(ref).max(), 1.0)
         max_rel = np.abs(g - ref).max() / scale
         assert max_rel < 1e-5, f"pixel-grad max|rel err| = {max_rel}"
+
+    def test_occ_backward_patch_path_dense_cluster(self):
+        """The patch-gather backward (W < S branch) stays lossless on a
+        dense cluster where the former per-tile candidate formulation
+        exceeded max_points_per_tile and silently dropped gradients."""
+        from isopoints_tpu.rendering.rasterizer import _occ_backward_one
+
+        S, P = 128, 2000
+        key = jax.random.key(3)
+        k1, k2, k3 = jax.random.split(key, 3)
+        # clustered points in a small NDC disc -> thousands share a window
+        pts2 = 0.25 * jax.random.normal(k1, (P, 2))
+        pts = jnp.concatenate([pts2, jnp.ones((P, 1))], -1)
+        radii = jnp.full((P, 2), 0.02)
+        visible = jnp.ones((P,), bool)
+        g_occ = jax.random.normal(k2, (S, S))
+        s = RasterizationSettings(image_size=S, tile_size=16,
+                                  max_points_per_tile=128,
+                                  radii_backward_scaler=10.0,
+                                  backward_patch_pixels=64)
+        g = np.asarray(_occ_backward_one(pts, radii, visible, g_occ, s))
+
+        # vectorized numpy oracle (same math as dense_occ_backward)
+        ptsn, radn, gon = (np.asarray(pts, np.float64),
+                           np.asarray(radii, np.float64),
+                           np.asarray(g_occ, np.float64))
+        search_r = np.median(radn) * 10.0          # 0.2 ndc = 12.8 px < 30
+        xs = np.asarray(_pixel_ndc(jnp.arange(S), S), np.float64)
+        xf = np.broadcast_to(xs[None, :], (S, S)).reshape(-1)   # cols
+        yf = np.broadcast_to(xs[:, None], (S, S)).reshape(-1)   # rows
+        gflat = gon.reshape(-1)
+        nz = gflat != 0.0
+        dx = xf[nz, None] - ptsn[None, :, 0]      # (npix, P)
+        dy = yf[nz, None] - ptsn[None, :, 1]
+        d2 = dx * dx + dy * dy
+        outside = (np.abs(dx) > radn[None, :, 0]) | (np.abs(dy) > radn[None, :, 1])
+        gg = gflat[nz][:, None]
+        use = (d2 <= search_r ** 2) & ~((gg > 0) & outside)
+        den = np.maximum(d2, 1e-10)
+        ref = np.stack([np.where(use, dx / den * gg, 0).sum(0),
+                        np.where(use, dy / den * gg, 0).sum(0)], -1)
+        scale = max(np.abs(ref).max(), 1.0)
+        max_rel = np.abs(g - ref).max() / scale
+        assert max_rel < 1e-5, f"patch-path max|rel err| = {max_rel}"
