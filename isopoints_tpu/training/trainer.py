@@ -257,6 +257,9 @@ class MVRTrainer:
         new_state = TrainState(params=params, opt_state=opt_state,
                                points=new_pts, points_mask=new_mask,
                                it=it + 1)
+        # ONE host transfer for all metrics: per-scalar float() costs a
+        # full device round-trip each (~250 ms over a remote-TPU tunnel)
+        metrics = jax.device_get(metrics)
         return new_state, {k: float(v) for k, v in metrics.items()}
 
     # ---------------------------------------------------------------
