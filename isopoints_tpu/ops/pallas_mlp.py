@@ -13,15 +13,23 @@ computed in the SAME kernel by forward-mode: each tile carries 3
 tangent columns through the layers (J ← (J·Wᵀ)⊙act'(z)), so
 `value_and_grad` costs one fused pass instead of forward + backward —
 a TPU-first replacement for the reference's autograd.grad calls
-(levelset_sampling.py:142-170).
+(levelset_sampling.py:142-170). The tangents live as a LIST of three
+(T, H) arrays, never a (T, 3, H) tensor — a middle dim of 3 pads to
+the (8, 128) TPU tile and cost 4.3x (51 -> 12 ms per 524k value+grad
+eval when switching to the 2D-list form; see _make_mmg).
 
-Precision (measured on TPU v5e, 4-layer 256-wide IGR, 64k Newton
-projections at tol 5e-5):
+Measured on TPU v5e, 4-layer 256-wide IGR, 524k-point batches
+(amortized over a 20-eval scan; ~30 ms/dispatch tunnel latency
+excluded):
 
-  mode       value dots                 proj/s    converged
-  'bf16'     1-pass bf16                1.10M     10.7%   (plateau ~1e-3)
-  'f32x3'    3-pass bf16 decomposition  —         ~99%    (default)
-  'highest'  6-pass (Precision.HIGHEST) 0.50M     99.6%
+  mode       value dots                 value      value+grad
+  'bf16'     1-pass bf16                4.8 ms     9.0 ms   (~1e-3 val err)
+  'f32x3'    3-pass bf16 decomposition  7.7 ms    11.9 ms   (default)
+  'highest'  6-pass (Precision.HIGHEST) slowest — strict-parity mode
+
+64k Newton projections at the 5e-5 training tolerance: 3.6M proj/s at
+100% convergence with 'f32x3'; 'bf16' plateaus at its ~1e-3 rounding
+noise (9% convergence) — never use it for Newton.
 
 TPU matmuls at DEFAULT precision truncate f32 inputs to bf16 — the SDF
 value then carries ~1e-3 absolute noise and can never meet the 5e-5
@@ -51,7 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from isopoints_tpu.models.fields import SDFField, SirenField
 
-_TILE = 512  # rays per kernel instance (sublane-friendly multiple of 8)
+_TILE = 1024  # rays per kernel instance (sublane-friendly multiple of 8)
 
 _MODES = ("bf16", "f32x3", "highest")
 
@@ -89,29 +97,27 @@ def _make_mm(mode: str):
     return mm
 
 
-def _make_mm3(mode: str):
-    """Tangent-path matmul (T, 3, H_in) @ w -> (T, 3, H_out).
+def _make_mmg(mode: str):
+    """Tangent-path matmul: one (T, H_in) @ w -> (T, H_out) per tangent.
 
-    1-pass bf16 in 'bf16'/'f32x3' (see module docstring); HIGHEST in
-    'highest' (the strict-parity mode). Mosaic cannot lower the
-    batched bf16 dot (3D reshape), so the bf16 path unrolls the 3
-    tangent columns into plain 2D matmuls.
+    The three input tangents are carried as a LIST of (T, H) arrays —
+    never a (T, 3, H) tensor: a middle dim of 3 pads to the (8, 128)
+    TPU tile, wasting 2.7x on every elementwise op and forcing layout
+    changes around each dot (measured 51 -> 12 ms per 524k value+grad
+    eval when switching to the 2D-list form). 1-pass bf16 in
+    'bf16'/'f32x3' (see module docstring); HIGHEST in 'highest' (the
+    strict-parity mode).
     """
     if mode in ("bf16", "f32x3"):
-        def mm3(a, wref):
-            w = wref[0][:]
-            cols = [jnp.dot(a[:, k, :].astype(jnp.bfloat16), w,
-                            preferred_element_type=jnp.float32)
-                    for k in range(a.shape[1])]
-            return jnp.stack(cols, axis=1)
+        def mmg(a, wref):
+            return jnp.dot(a.astype(jnp.bfloat16), wref[0][:],
+                           preferred_element_type=jnp.float32)
     else:
-        def mm3(a, wref):
-            return jax.lax.dot_general(
-                a, wref[0][:].astype(jnp.float32),
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-    return mm3
+        def mmg(a, wref):
+            return jnp.dot(a, wref[0][:].astype(jnp.float32),
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+    return mmg
 
 
 def _pack_weights(ws: Sequence[jax.Array], bs: Sequence[jax.Array],
@@ -153,7 +159,7 @@ def _siren_kernel(n_layers: int, first_omega: float, hidden_omega: float,
     """Kernel body for a SIREN stack. Weight refs come per layer as
     (w[, w_lo], b) groups of `stride` refs (see _pack_weights)."""
     mm = _make_mm(mode)
-    mm3 = _make_mm3(mode)
+    mmg = _make_mmg(mode)
 
     def kernel(x_ref, *refs):
         if with_grad:
@@ -170,25 +176,26 @@ def _siren_kernel(n_layers: int, first_omega: float, hidden_omega: float,
         z = mm(x, wref0) + b0[:]
         h = jnp.sin(first_omega * z)
         if with_grad:
-            # J: (T, 3, H) tangent of h wrt the 3 inputs
-            w0 = wref0[0][:].astype(jnp.float32)
-            jac = first_omega * jnp.cos(first_omega * z)[:, None, :] * \
-                w0[None, :, :]
+            # tangents: list of 3 (T, H) arrays (see _make_mmg). At the
+            # first layer each is ω₀·cos(ω₀z)·W0[k] (e_k @ W0 = row k).
+            w0 = wref0[0][:].astype(jnp.float32)       # (3, H)
+            dh = first_omega * jnp.cos(first_omega * z)
+            jac = [dh * w0[k:k + 1, :] for k in range(3)]
 
         for l in range(n_layers):
             wref, b = layer(1 + l)
             z = mm(h, wref) + b[:]
             if with_grad:
-                jz = mm3(jac, wref)
-                jac = hidden_omega * jnp.cos(hidden_omega * z)[:, None, :] * jz
+                dh = hidden_omega * jnp.cos(hidden_omega * z)
+                jac = [dh * mmg(j, wref) for j in jac]
             h = jnp.sin(hidden_omega * z)
 
         wref, b = layer(1 + n_layers)
         out = mm(h, wref) + b[:]  # (T, 1)
         out_ref[:] = out
         if with_grad:
-            jout = mm3(jac, wref)                            # (T, 3, 1)
-            grad_ref[:] = jout[..., 0]
+            grad_ref[:] = jnp.concatenate(
+                [mmg(j, wref) for j in jac], axis=-1)        # (T, 3)
 
     return kernel
 
@@ -308,7 +315,7 @@ def _igr_kernel(n_layers: int, skip_in: Tuple[int, ...], final_tanh: bool,
         return jax.nn.sigmoid(beta * z)
 
     mm = _make_mm(mode)
-    mm3 = _make_mm3(mode)
+    mmg = _make_mmg(mode)
 
     def kernel(x_ref, *refs):
         if with_grad:
@@ -322,43 +329,46 @@ def _igr_kernel(n_layers: int, skip_in: Tuple[int, ...], final_tanh: bool,
 
         x = x_ref[:]                                   # (T, D)
         d_in = x.shape[-1]
+        t = x.shape[0]
         h = x
+
+        def one_hot(k):
+            col = jax.lax.broadcasted_iota(jnp.int32, (t, d_in), 1)
+            return (col == k).astype(jnp.float32)
+
         if with_grad:
-            # J: (T, 3, width); input jac = I (D == 3 for the raw path)
-            eye = jax.lax.broadcasted_iota(jnp.int32, (d_in, d_in), 0) == \
-                jax.lax.broadcasted_iota(jnp.int32, (d_in, d_in), 1)
-            jac = jnp.broadcast_to(eye.astype(jnp.float32),
-                                   (x.shape[0], d_in, d_in))
+            # tangents: list of 3 (T, width) arrays (see _make_mmg);
+            # input jac = e_k (D == 3 for the raw path)
+            jac = [one_hot(k) for k in range(d_in)]
 
         for l in range(n_layers):
             if l in skip_in:
                 h = jnp.concatenate([h, x], axis=-1) * inv_sqrt2
                 if with_grad:
-                    eye = jax.lax.broadcasted_iota(
-                        jnp.int32, (d_in, d_in), 0) == jax.lax.broadcasted_iota(
-                        jnp.int32, (d_in, d_in), 1)
-                    jx = jnp.broadcast_to(eye.astype(jnp.float32),
-                                          (x.shape[0], d_in, d_in))
-                    jac = jnp.concatenate([jac, jx], axis=-1) * inv_sqrt2
+                    jac = [jnp.concatenate([jac[k], one_hot(k)],
+                                           axis=-1) * inv_sqrt2
+                           for k in range(d_in)]
             wref, b = layer(l)
             z = mm(h, wref) + b[:]
             if with_grad:
-                jz = mm3(jac, wref)
+                jz = [mmg(j, wref) for j in jac]
             if l < n_layers - 1:
                 h = act(z)
                 if with_grad:
-                    jac = dact(z)[:, None, :] * jz
+                    d = dact(z)
+                    jac = [d * j for j in jz]
             else:
                 h = z
                 if with_grad:
                     jac = jz
         if final_tanh:
             if with_grad:
-                jac = (1.0 - jnp.tanh(h) ** 2)[:, None, :] * jac
+                d = 1.0 - jnp.tanh(h) ** 2
+                jac = [d * j for j in jac]
             h = jnp.tanh(h)
         out_ref[:] = h
         if with_grad:
-            grad_ref[:] = jac[..., 0]
+            grad_ref[:] = jnp.concatenate(jac, axis=-1)      # (T, 3)
 
     return kernel
 
