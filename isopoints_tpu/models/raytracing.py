@@ -25,7 +25,7 @@ No data-dependent shapes anywhere: callers get masks, not subsets.
 
 import math
 from dataclasses import dataclass
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -200,13 +200,17 @@ class RayTracingConfig:
     # back — bounded work, same result when the unconverged count fits
     # (sphere tracing converges the vast majority).
     sampler_fraction: float = 1.0
-    # two-phase tracing: run `trace_compact_after` full-width sphere-
+    # straggler compaction: run `trace_compact_after` full-width sphere-
     # tracing iterations, then compact still-unfinished rays into a
     # ceil(frac·N) buffer and finish there. 0 disables. Saves the
     # straggler iterations' full-width MLP evals (the while_loop only
-    # exits when EVERY ray is done).
-    trace_compact_after: int = 0
-    trace_compact_fraction: float = 0.25
+    # exits when EVERY ray is done). Also accepts TUPLES for a chain of
+    # stages, e.g. after=(6, 8), fraction=(0.5, 0.3): compact to 0.5·N
+    # at iteration 6 and re-compact the buffer to 0.3·N at iteration 8
+    # (fractions are of the ORIGINAL ray count). Tune against the
+    # measured active-ray decay; overflow is counted per stage.
+    trace_compact_after: Union[int, Tuple[int, ...]] = 0
+    trace_compact_fraction: Union[float, Tuple[float, ...]] = 0.25
     # coarse/fine precision schedule: run the first `coarse_trace_iters`
     # sphere-tracing iterations with `sdf_fn_coarse` (e.g. the 1-pass
     # bf16 fused MLP, ~1.67x faster than f32x3), then re-validate ALL
@@ -224,6 +228,40 @@ class RayTracingConfig:
     # the surface-hit decision rest on fine values. Identity when the
     # coarse fn equals the fine fn.
     sampler_coarse: bool = False
+    # fused backstep: the reference's line-search backstep re-evaluates
+    # BOTH fronts full-width inside the same iteration — a second MLP
+    # eval that serves only the ~5% of rays that crossed (measured on
+    # the bench workload). With fused_backstep=True each loop iteration
+    # does exactly ONE eval: a ray that crossed takes its backstep as
+    # its NEXT iteration's move (same trajectory rule, scale
+    # (1−line_search_step)/2^i per consecutive backstep). The iteration
+    # budget is shared between forward steps and backsteps, so give the
+    # loop ~20% more iterations for the same convergence; at equal eval
+    # budget it converges strictly more rays (each iteration costs half).
+    fused_backstep: bool = False
+    # run the phase-2 compacted straggler loop with the coarse fn too,
+    # then re-validate its fronts once at fine precision: fronts the
+    # coarse noise stopped early are simply marked unfinished (no more
+    # marching budget exists) and fall to the dense sampler. Identity
+    # when coarse == fine. Requires trace_compact_after > 0.
+    trace_compact_coarse: bool = False
+    # sampler presweep: before the dense n_steps sweep, evaluate
+    # `sampler_presweep` uniform steps per ray and CERTIFY rays that
+    # cannot contain a zero crossing: an interval [a, b] is crossing-
+    # free when sign(f_a) == sign(f_b) and min(|f_a|, |f_b|) >
+    # lipschitz·(b − a). Sound for L-Lipschitz fields with
+    # L ≤ `sampler_presweep_lipschitz` (true SDFs have L = 1;
+    # eikonal-trained fields ≈ 1 — the default 2.0 is the safety
+    # margin; this is a HEURISTIC for learned fields, 0 presweep steps
+    # disables it). Certified rays skip the dense sweep and take their
+    # min-SDF point from the presweep grid (they are non-surface);
+    # flagged rays are compacted into a ceil(sampler_dense_fraction ·
+    # width) buffer and swept densely as usual. Flagged rays beyond
+    # capacity are treated as non-surface and counted in
+    # sampler_overflow.
+    sampler_presweep: int = 0
+    sampler_presweep_lipschitz: float = 2.0
+    sampler_dense_fraction: float = 0.5
 
 
 def _eval_sdf_chunked(sdf_fn: SDFFn, pts: jax.Array, chunk_rays: int
@@ -303,6 +341,19 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
     """
     thr = cfg.sdf_threshold
 
+    # Loop state layout (extended, used by both bodies):
+    #   (acc_s, acc_e, sdf_s, sdf_e, un_s, un_e,
+    #    bk_s, bk_e, cur_s, cur_e, it)
+    # bk_*: int32 pending-backstep counter (0 = none; i = the i-th
+    # consecutive backstep runs next iteration); cur_*: the forward
+    # step being backstepped. Both are dead weight for the reference
+    # body (identity-carried) and the engine of the fused one.
+
+    def extend(state7):
+        z = jnp.zeros_like(state7[2])
+        zi = jnp.zeros(state7[2].shape, jnp.int32)
+        return state7[:6] + (zi, zi, z, z, state7[6])
+
     def make_loop(cam, dirs, start_it: int, max_iters: int, fn=None):
         fn = fn or sdf_fn
 
@@ -316,11 +367,14 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
             return both[..., :n], both[..., n:]
 
         def cond(state):
-            _, _, _, _, un_s, un_e, it = state
+            un_s, un_e, it = state[4], state[5], state[10]
             return (it < max_iters) & (jnp.any(un_s) | jnp.any(un_e))
 
         def body(state):
-            acc_s, acc_e, sdf_s, sdf_e, un_s, un_e, it = state
+            """Reference semantics: advance + in-iteration line-search
+            backstep (second full-width eval per iteration)."""
+            acc_s, acc_e, sdf_s, sdf_e, un_s, un_e = state[:6]
+            bk_s, bk_e, _, _, it = state[6:]
             cur_s = jnp.where(un_s & (sdf_s > thr), sdf_s, 0.0)
             cur_e = jnp.where(un_e & (sdf_e > thr), sdf_e, 0.0)
             acc_s = acc_s + cur_s
@@ -347,17 +401,66 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
             not_crossed = acc_s < acc_e
             un_s = un_s & (new_s > thr) & not_crossed
             un_e = un_e & (new_e > thr) & not_crossed
-            return acc_s, acc_e, new_s, new_e, un_s, un_e, it + 1
+            return (acc_s, acc_e, new_s, new_e, un_s, un_e,
+                    bk_s, bk_e, cur_s, cur_e, it + 1)
+
+        def body_fused(state):
+            """One eval per iteration: a crossing takes its backstep as
+            the NEXT iteration's move (RayTracingConfig.fused_backstep).
+            Same per-ray trajectory rule as `body`; the iteration budget
+            is shared between forward steps and backsteps."""
+            (acc_s, acc_e, sdf_s, sdf_e, un_s, un_e,
+             bk_s, bk_e, cur_s, cur_e, it) = state
+            fwd_s = jnp.where(un_s & (bk_s == 0) & (sdf_s > thr), sdf_s, 0.0)
+            fwd_e = jnp.where(un_e & (bk_e == 0) & (sdf_e > thr), sdf_e, 0.0)
+            # i-th consecutive backstep scale: (1−ls)/2^(i−1), i ≥ 1
+            scl = (1.0 - cfg.line_search_step)
+            scale_s = scl * jnp.exp2(-(bk_s - 1).astype(jnp.float32))
+            scale_e = scl * jnp.exp2(-(bk_e - 1).astype(jnp.float32))
+            move_s = jnp.where(bk_s > 0, -scale_s * cur_s, fwd_s)
+            move_e = jnp.where(bk_e > 0, -scale_e * cur_e, fwd_e)
+            acc_s = acc_s + move_s
+            acc_e = acc_e - move_e
+            new_s, new_e = eval_pair(acc_s, acc_e)
+
+            # crossing (or still-negative after a backstep, budget left)
+            # schedules (another) backstep; otherwise apply the stop rule
+            may_s = un_s & (new_s < 0) & (bk_s < cfg.line_step_iters)
+            may_e = un_e & (new_e < 0) & (bk_e < cfg.line_step_iters)
+            cur_s = jnp.where(may_s & (bk_s == 0), fwd_s, cur_s)
+            cur_e = jnp.where(may_e & (bk_e == 0), fwd_e, cur_e)
+            bk_s = jnp.where(may_s, bk_s + 1, 0)
+            bk_e = jnp.where(may_e, bk_e + 1, 0)
+
+            not_crossed = acc_s < acc_e
+            un_s = un_s & ((bk_s > 0) | ((new_s > thr) & not_crossed))
+            un_e = un_e & ((bk_e > 0) | ((new_e > thr) & not_crossed))
+            return (acc_s, acc_e, new_s, new_e, un_s, un_e,
+                    bk_s, bk_e, cur_s, cur_e, it + 1)
 
         def run(state):
             return jax.lax.while_loop(
-                cond, body, state[:-1] + (jnp.int32(start_it),))
+                cond, body_fused if cfg.fused_backstep else body,
+                state[:10] + (jnp.int32(start_it),))
 
         return run, eval_pair
 
-    full_end = (min(cfg.trace_compact_after, cfg.sphere_tracing_iters)
-                if cfg.trace_compact_after > 0
-                else cfg.sphere_tracing_iters)
+    # normalize compaction stages: int -> single stage, tuple -> chain;
+    # stages at/after the last iteration are no-ops and dropped
+    raw_stages = cfg.trace_compact_after
+    raw_fracs = cfg.trace_compact_fraction
+    if isinstance(raw_stages, int):
+        raw_stages = (raw_stages,) if raw_stages > 0 else ()
+    if isinstance(raw_fracs, float):
+        raw_fracs = (raw_fracs,) * len(raw_stages)
+    keep = [(a, f) for a, f in zip(raw_stages, raw_fracs)
+            if 0 < a < cfg.sphere_tracing_iters]
+    stages = tuple(a for a, _ in keep)
+    fracs = tuple(f for _, f in keep)
+    assert list(stages) == sorted(set(stages)), \
+        ("trace_compact_after stages must be strictly increasing", stages)
+
+    full_end = stages[0] if stages else cfg.sphere_tracing_iters
     coarse_end = (min(cfg.coarse_trace_iters, full_end)
                   if sdf_fn_coarse is not None else 0)
 
@@ -370,73 +473,120 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
         c_s0, c_e0 = eval_pair_c(t_near, t_far)
         c_s0 = jnp.where(mask_intersect, c_s0, 0.0)
         c_e0 = jnp.where(mask_intersect, c_e0, 0.0)
-        state = run_coarse((t_near, t_far, c_s0, c_e0,
-                            mask_intersect & (c_s0 > thr),
-                            mask_intersect & (c_e0 > thr), jnp.int32(0)))
+        state = run_coarse(extend((t_near, t_far, c_s0, c_e0,
+                                   mask_intersect & (c_s0 > thr),
+                                   mask_intersect & (c_e0 > thr),
+                                   jnp.int32(0))))
         acc_s, acc_e = state[0], state[1]
+        bk_s, bk_e, cur_s, cur_e = state[6:10]
         # ---- boundary re-validation at FINE precision: recompute the
         # front states from scratch so coarse noise can neither leave a
         # ray converged at |f_fine| > thr nor stop a front early.
         # Identity when sdf_fn_coarse == sdf_fn (fronts are stationary
-        # once stopped and evals are deterministic).
+        # once stopped and evals are deterministic). Pending fused
+        # backsteps (bk > 0) stay unfinished so the fine loop completes
+        # them.
         sdf_s, sdf_e = eval_pair(acc_s, acc_e)
         sdf_s = jnp.where(mask_intersect, sdf_s, 0.0)
         sdf_e = jnp.where(mask_intersect, sdf_e, 0.0)
         not_crossed = acc_s < acc_e
-        un_s0 = mask_intersect & (sdf_s > thr) & not_crossed
-        un_e0 = mask_intersect & (sdf_e > thr) & not_crossed
-        sdf_start0, sdf_end0, start_state = sdf_s, sdf_e, (acc_s, acc_e)
+        un_s0 = mask_intersect & (((sdf_s > thr) & not_crossed)
+                                  | (bk_s > 0))
+        un_e0 = mask_intersect & (((sdf_e > thr) & not_crossed)
+                                  | (bk_e > 0))
+        sdf_start0, sdf_end0 = sdf_s, sdf_e
+        extras = (bk_s, bk_e, cur_s, cur_e)
+        start_state = (acc_s, acc_e)
     else:
         sdf_start0, sdf_end0 = eval_pair(t_near, t_far)
         sdf_start0 = jnp.where(mask_intersect, sdf_start0, 0.0)
         sdf_end0 = jnp.where(mask_intersect, sdf_end0, 0.0)
         un_s0 = mask_intersect & (sdf_start0 > thr)
         un_e0 = mask_intersect & (sdf_end0 > thr)
+        extras = None
         start_state = (t_near, t_far)
 
     run_full, _ = make_loop(cam_loc, ray_dirs, coarse_end, full_end)
-    state = run_full(start_state + (sdf_start0, sdf_end0, un_s0, un_e0,
-                                    jnp.int32(0)))
-    acc_s, acc_e, sdf_s, sdf_e, un_s, un_e, it = state
+    state7 = start_state + (sdf_start0, sdf_end0, un_s0, un_e0,
+                            jnp.int32(0))
+    full_state = extend(state7)
+    if extras is not None:
+        full_state = full_state[:6] + extras + full_state[10:]
+    state = run_full(full_state)
+    acc_s, acc_e, sdf_s, sdf_e, un_s, un_e = state[:6]
+    bk_s, bk_e, cur_s, cur_e, it = state[6:]
 
     no_overflow = jnp.zeros((), jnp.int32)
-    if (cfg.trace_compact_after <= 0
-            or cfg.trace_compact_after >= cfg.sphere_tracing_iters):
+    if not stages:
         return acc_s, acc_e, un_s, no_overflow
 
-    # ---- phase 2: compact the stragglers and finish
+    # ---- compacted straggler stages: top_k-compact still-active rays
+    # into a ceil(frac·N) buffer at each stage boundary and march the
+    # buffer to the next boundary. Buffers nest (stage k+1 compacts
+    # stage k's buffer); scatters unwind in reverse at the end.
     import math as _math
 
-    b, n = un_s.shape
-    cap = max(int(_math.ceil(n * cfg.trace_compact_fraction)), 1)
-    active = un_s | un_e
-    score = active.astype(jnp.float32)
-    _, sel = jax.lax.top_k(score, cap)                       # (B, cap)
-    sel_ok = jnp.take_along_axis(active, sel, axis=1)
-    g2 = lambda a: jnp.take_along_axis(a, sel, axis=1)
-    g3 = lambda a: jnp.take_along_axis(a, sel[..., None], axis=1)
+    b, n0 = un_s.shape
+    p2_coarse = cfg.trace_compact_coarse and sdf_fn_coarse is not None
+    boundaries = list(stages[1:]) + [cfg.sphere_tracing_iters]
 
-    run_c, _ = make_loop(g3(cam_loc), g3(ray_dirs),
-                         cfg.trace_compact_after, cfg.sphere_tracing_iters)
-    c_state = run_c((g2(acc_s), g2(acc_e), g2(sdf_s), g2(sdf_e),
-                     g2(un_s) & sel_ok, g2(un_e) & sel_ok, it))
-    c_acc_s, c_acc_e, _, _, c_un_s, _, _ = c_state
+    cam_g, dirs_g = cam_loc, ray_dirs
+    st = (acc_s, acc_e, sdf_s, sdf_e, un_s, un_e, bk_s, bk_e, cur_s, cur_e)
+    frames = []          # (sel, sel_ok, pre-stage acc_s/acc_e/un_s, width)
+    overflow = jnp.zeros((), jnp.int32)
 
-    def scatter(dst, src):
-        return jax.vmap(
-            lambda d, i, v, ok: d.at[jnp.where(ok, i, n)].set(
-                jnp.where(ok, v, jnp.zeros((), v.dtype)), mode="drop")
-        )(dst, sel, src, sel_ok)
+    for a, nxt, frac in zip(stages, boundaries, fracs):
+        n_cur = st[4].shape[1]
+        cap = min(max(int(_math.ceil(n0 * frac)), 1), n_cur)
+        active = st[4] | st[5]
+        _, sel = jax.lax.top_k(active.astype(jnp.float32), cap)  # (B, cap)
+        sel_ok = jnp.take_along_axis(active, sel, axis=1)
+        n_active = jnp.sum(active.astype(jnp.int32), axis=1)
+        overflow = overflow + jnp.sum(jnp.maximum(n_active - cap, 0))
+        g2 = lambda x: jnp.take_along_axis(x, sel, axis=1)
+        g3 = lambda x: jnp.take_along_axis(x, sel[..., None], axis=1)
+        frames.append((sel, sel_ok, st[0], st[1], st[4], n_cur))
 
-    acc_s = scatter(acc_s, c_acc_s)
-    acc_e = scatter(acc_e, c_acc_e)
-    un_s = scatter(un_s, c_un_s)
-    # overflow beyond capacity keeps its phase-1 state (still unfinished
-    # -> handled by the dense sampler downstream); count it (top_k takes
-    # active rays first, so per row: active_count - cap, clamped)
-    n_active = jnp.sum(active.astype(jnp.int32), axis=1)
-    overflow = jnp.sum(jnp.maximum(n_active - cap, 0))
-    return acc_s, acc_e, un_s, overflow
+        cam_g, dirs_g = g3(cam_g), g3(dirs_g)
+        un_s_in = g2(st[4]) & sel_ok
+        un_e_in = g2(st[5]) & sel_ok
+        run_c, _ = make_loop(cam_g, dirs_g, a, nxt,
+                             fn=sdf_fn_coarse if p2_coarse else None)
+        c_state = run_c((g2(st[0]), g2(st[1]), g2(st[2]), g2(st[3]),
+                         un_s_in, un_e_in,
+                         g2(st[6]), g2(st[7]), g2(st[8]), g2(st[9]),
+                         jnp.int32(a)))
+        st = c_state[:10]
+        if p2_coarse:
+            # fine re-validation of this stage's fronts BEFORE the next
+            # compaction selects on them: no ray may stay converged (or
+            # get dropped) on a coarse value. Same rule as the
+            # coarse->fine boundary; identity when coarse == fine
+            # (recomputes the loop's own exit values — fronts are
+            # stationary once stopped). Only rays that ENTERED this
+            # stage unfinished can change state.
+            _, fine_pair_g = make_loop(cam_g, dirs_g, 0, 0)
+            f_s, f_e = fine_pair_g(st[0], st[1])
+            ncx = st[0] < st[1]
+            r_un_s = un_s_in & (((f_s > thr) & ncx) | (st[6] > 0))
+            r_un_e = un_e_in & (((f_e > thr) & ncx) | (st[7] > 0))
+            st = (st[0], st[1], f_s, f_e, r_un_s, r_un_e) + st[6:]
+
+    # unwind: scatter each stage's result back into its parent buffer
+    c_acc_s, c_acc_e, c_un_s = st[0], st[1], st[4]
+    for sel, sel_ok, p_acc_s, p_acc_e, p_un_s, n_cur in reversed(frames):
+        def scatter(dst, src):
+            return jax.vmap(
+                lambda d, i, v, ok: d.at[jnp.where(ok, i, n_cur)].set(
+                    jnp.where(ok, v, jnp.zeros((), v.dtype)), mode="drop")
+            )(dst, sel, src, sel_ok)
+        c_acc_s = scatter(p_acc_s, c_acc_s)
+        c_acc_e = scatter(p_acc_e, c_acc_e)
+        c_un_s = scatter(p_un_s, c_un_s)
+    # overflow beyond capacity keeps its pre-stage state (still
+    # unfinished -> handled by the dense sampler downstream); counted
+    # per stage (top_k takes active rays first: active_count - cap)
+    return c_acc_s, c_acc_e, c_un_s, overflow
 
 
 def _dense_ray_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
@@ -450,10 +600,19 @@ def _dense_ray_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
     results the caller takes. With `cfg.sampler_coarse` the n_steps
     sweep runs on the coarse fn and the secant bracket endpoints are
     re-evaluated fine (see RayTracingConfig).
+
+    Returns (points, t, object_mask, overflow) — overflow is the count
+    of presweep-flagged rays beyond the dense-buffer capacity (0 when
+    the presweep is off).
     """
     n = cfg.n_steps
     use_coarse = cfg.sampler_coarse and sdf_fn_coarse is not None
     fn_dense = sdf_fn_coarse if use_coarse else sdf_fn
+
+    if 2 <= cfg.sampler_presweep < n:
+        return _presweep_sampler(sdf_fn, key, cam_loc, ray_dirs,
+                                 object_mask, t_lo, t_hi, sampler_mask,
+                                 cfg, training, sdf_fn_coarse)
     steps = jnp.linspace(0.0, 1.0, n)
     ts = t_lo[..., None] + steps * (t_hi - t_lo)[..., None]        # (B,N,S)
     pts = cam_loc[..., None, :] + ts[..., None] * ray_dirs[..., None, :]
@@ -493,7 +652,76 @@ def _dense_ray_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
     t_out = jnp.where(secant_ok, z_secant, jnp.where(p_out, t_min, t_pick))
     pts_out = cam_loc + t_out[..., None] * ray_dirs
     obj_mask_out = sampler_mask & net_surface
-    return pts_out, t_out, obj_mask_out
+    return pts_out, t_out, obj_mask_out, jnp.zeros((), jnp.int32)
+
+
+def _presweep_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
+                      t_lo, t_hi, sampler_mask, cfg: RayTracingConfig,
+                      training: bool,
+                      sdf_fn_coarse: Optional[SDFFn] = None):
+    """Certify-then-sweep sampler (RayTracingConfig.sampler_presweep).
+
+    Stage 1 evaluates `sampler_presweep` uniform steps per ray. A ray
+    is CERTIFIED crossing-free when every interval [a, b] of the
+    presweep grid has sign(f_a) == sign(f_b) and min(|f_a|, |f_b|) >
+    lipschitz·(b − a) — sound for L-Lipschitz fields (true SDFs: L=1).
+    Certified rays are non-surface and take their min-SDF point from
+    the presweep grid (vs the n_steps grid — both are "a random-ish
+    minimum", the reference's own fallback semantics). Flagged rays
+    are top_k-compacted into a ceil(dense_fraction·width) buffer and
+    swept densely with reference semantics; beyond-capacity rays are
+    treated as non-surface and counted.
+    """
+    import dataclasses
+    import math as _math
+
+    s1 = cfg.sampler_presweep
+    use_coarse = cfg.sampler_coarse and sdf_fn_coarse is not None
+    fn_dense = sdf_fn_coarse if use_coarse else sdf_fn
+
+    steps1 = jnp.linspace(0.0, 1.0, s1)
+    ts1 = t_lo[..., None] + steps1 * (t_hi - t_lo)[..., None]     # (B,N,S1)
+    pts1 = cam_loc[..., None, :] + ts1[..., None] * ray_dirs[..., None, :]
+    f1 = _eval_sdf_chunked(fn_dense, pts1, cfg.sampler_chunk_rays)
+
+    seg = jnp.abs(t_hi - t_lo)[..., None] / max(s1 - 1, 1)
+    fa, fb = f1[..., :-1], f1[..., 1:]
+    lip = cfg.sampler_presweep_lipschitz
+    possible = ((jnp.sign(fa) != jnp.sign(fb))
+                | (jnp.minimum(jnp.abs(fa), jnp.abs(fb)) <= lip * seg))
+    needs_dense = sampler_mask & jnp.any(possible, axis=-1)       # (B,N)
+
+    # certified-ray fallback: min-SDF point on the presweep grid
+    idx1 = jnp.argmin(f1, axis=-1)
+    t_min1 = jnp.take_along_axis(ts1, idx1[..., None], axis=-1)[..., 0]
+
+    b, nr = sampler_mask.shape
+    cap = min(max(int(_math.ceil(nr * cfg.sampler_dense_fraction)), 1), nr)
+    _, sel = jax.lax.top_k(needs_dense.astype(jnp.float32), cap)
+    sel_ok = jnp.take_along_axis(needs_dense, sel, axis=1)
+    g2 = lambda a: jnp.take_along_axis(a, sel, axis=1)
+    g3 = lambda a: jnp.take_along_axis(a, sel[..., None], axis=1)
+
+    cfg_dense = dataclasses.replace(cfg, sampler_presweep=0)
+    d_pts, d_t, d_obj, _ = _dense_ray_sampler(
+        sdf_fn, key, g3(cam_loc), g3(ray_dirs), g2(object_mask),
+        g2(t_lo), g2(t_hi), sel_ok, cfg_dense, training,
+        sdf_fn_coarse=sdf_fn_coarse)
+
+    t_out = t_min1                       # certified / overflow default
+    obj_out = jnp.zeros_like(needs_dense)
+    scatter = lambda dst, src: jax.vmap(
+        lambda d, i, v, ok: d.at[jnp.where(ok, i, nr)].set(
+            jnp.where(ok, v, jnp.zeros((), v.dtype)), mode="drop")
+    )(dst, sel, src, sel_ok)
+    t_out = scatter(t_out, d_t)
+    obj_out = scatter(obj_out, d_obj)
+    obj_out = sampler_mask & obj_out
+
+    n_flagged = jnp.sum(needs_dense.astype(jnp.int32), axis=1)
+    overflow = jnp.sum(jnp.maximum(n_flagged - cap, 0))
+    pts_out = cam_loc + t_out[..., None] * ray_dirs
+    return pts_out, t_out, obj_out, overflow
 
 
 def _minimal_sdf_points(sdf_fn: SDFFn, key, cam_loc, ray_dirs, t_lo, t_hi,
@@ -547,12 +775,13 @@ def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
     sampler_overflow = jnp.zeros((), jnp.int32)
     k1, k2 = jax.random.split(key)
     if cfg.sampler_fraction >= 1.0:
-        s_pts, s_t, s_obj = _dense_ray_sampler(
+        s_pts, s_t, s_obj, ps_ovf = _dense_ray_sampler(
             sdf_fn, k1, cam_loc, ray_dirs, object_mask, acc_s, acc_e,
             sampler_mask, cfg, training, sdf_fn_coarse=sdf_fn_coarse)
         dists = jnp.where(sampler_mask, s_t, dists)
         network_object_mask = jnp.where(sampler_mask, s_obj,
                                         network_object_mask)
+        sampler_overflow = sampler_overflow + ps_ovf
     else:
         # compact unconverged rays into a static buffer, sample only
         # those, scatter back (bounded dense-sampler work)
@@ -563,7 +792,7 @@ def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
         sel_ok = jnp.take_along_axis(sampler_mask, sel, axis=1)
         g2 = lambda a: jnp.take_along_axis(a, sel, axis=1)
         g3 = lambda a: jnp.take_along_axis(a, sel[..., None], axis=1)
-        s_pts, s_t, s_obj = _dense_ray_sampler(
+        s_pts, s_t, s_obj, ps_ovf = _dense_ray_sampler(
             sdf_fn, k1, g3(cam_loc), g3(ray_dirs), g2(object_mask),
             g2(acc_s), g2(acc_e), sel_ok, cfg, training,
             sdf_fn_coarse=sdf_fn_coarse)
@@ -578,7 +807,7 @@ def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
             lambda i, ok: jnp.zeros((n,), bool).at[
                 jnp.where(ok, i, n)].set(True, mode="drop"))(sel, sel_ok)
         network_object_mask = jnp.where(overflow, False, network_object_mask)
-        sampler_overflow = jnp.sum(overflow.astype(jnp.int32))
+        sampler_overflow = jnp.sum(overflow.astype(jnp.int32)) + ps_ovf
 
     points = cam_loc + dists[..., None] * ray_dirs
 

@@ -400,3 +400,242 @@ class TestOverflowCounters:
         f = torus_sdf()
         if hits.sum():
             assert np.abs(np.asarray(f(res.points))[hits]).max() < 5e-2
+
+
+class TestFusedBackstep:
+    """RayTracingConfig.fused_backstep: one eval per iteration; the
+    backstep consumes an iteration slot instead of a second full-width
+    eval. Same trajectory rule — at a matched eval budget the fused
+    loop must converge at least as many rays, and agreeing hits must
+    land on the same surface points."""
+
+    def test_matches_reference_path_on_sphere(self):
+        f = sphere_sdf()
+        cam, d, gt = _ray_fan(seed=21)
+        ref = ray_trace(f, cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=20),
+                        training=False)
+        # 20 reference iterations cost <=40 evals; give the fused loop
+        # the same eval budget
+        fused = ray_trace(f, cam, d, gt, jax.random.key(1),
+                          RayTracingConfig(sphere_tracing_iters=40,
+                                           fused_backstep=True),
+                          training=False)
+        hits_r = np.asarray(ref.network_object_mask)
+        hits_f = np.asarray(fused.network_object_mask)
+        assert hits_f.sum() >= hits_r.sum()
+        both = hits_r & hits_f
+        np.testing.assert_allclose(np.asarray(fused.dists)[both],
+                                   np.asarray(ref.dists)[both], atol=1e-3)
+        # every claimed hit lies on the surface
+        assert np.abs(np.asarray(f(fused.points))[hits_f]).max() < 1e-3
+
+    def test_torus_hits_on_surface(self):
+        f = torus_sdf()
+        cam, d, gt = _ray_fan(seed=22)
+        fused = ray_trace(f, cam, d, gt, jax.random.key(1),
+                          RayTracingConfig(sphere_tracing_iters=24,
+                                           fused_backstep=True),
+                          training=True)
+        hits = np.asarray(fused.network_object_mask)
+        assert hits.sum() > 0
+        assert np.abs(np.asarray(f(fused.points))[hits]).max() < 1e-3
+        # fallback points stay on their rays (training path intact)
+        t = np.asarray(fused.dists)
+        pts = np.asarray(fused.points)
+        cam_np, d_np = np.asarray(cam), np.asarray(d)
+        np.testing.assert_allclose(pts, cam_np + t[..., None] * d_np,
+                                   atol=1e-5)
+
+    def test_composes_with_schedule_and_compaction(self):
+        f = sphere_sdf()
+        cam, d, gt = _ray_fan(seed=23)
+        res = ray_trace(f, cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=24,
+                                         fused_backstep=True,
+                                         coarse_trace_iters=8,
+                                         trace_compact_after=12,
+                                         trace_compact_fraction=0.99,
+                                         trace_compact_coarse=True,
+                                         sampler_coarse=True),
+                        training=False, sdf_fn_coarse=f)
+        hits = np.asarray(res.network_object_mask)
+        assert hits.sum() > 0
+        assert np.abs(np.asarray(f(res.points))[hits]).max() < 1e-3
+
+
+class TestCompactCoarse:
+    def test_identity_when_coarse_equals_fine(self):
+        """trace_compact_coarse with coarse == fine must be exactly the
+        plain two-phase trace (the re-validation recomputes the
+        compacted loop's own exit values)."""
+        f = torus_sdf()
+        cam, d, gt = _ray_fan(seed=24)
+        plain = ray_trace(f, cam, d, gt, jax.random.key(1),
+                          RayTracingConfig(sphere_tracing_iters=20,
+                                           trace_compact_after=4,
+                                           trace_compact_fraction=0.99),
+                          training=False)
+        cc = ray_trace(f, cam, d, gt, jax.random.key(1),
+                       RayTracingConfig(sphere_tracing_iters=20,
+                                        trace_compact_after=4,
+                                        trace_compact_fraction=0.99,
+                                        trace_compact_coarse=True),
+                       training=False, sdf_fn_coarse=f)
+        np.testing.assert_array_equal(np.asarray(plain.network_object_mask),
+                                      np.asarray(cc.network_object_mask))
+        np.testing.assert_array_equal(np.asarray(plain.dists),
+                                      np.asarray(cc.dists))
+
+    def test_noisy_coarse_phase2_hits_stay_fine(self):
+        """With a noisy coarse fn in phase 2, claimed hits still satisfy
+        |f_fine| small (early-stopped fronts fall to the sampler)."""
+        f = sphere_sdf()
+
+        def f_noisy(x):
+            return f(x) + 1e-3 * jnp.sin(1e3 * jnp.sum(x, axis=-1))
+
+        cam, d, gt = _ray_fan(seed=25)
+        res = ray_trace(f, cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=24,
+                                         coarse_trace_iters=8,
+                                         trace_compact_after=12,
+                                         trace_compact_fraction=0.99,
+                                         trace_compact_coarse=True,
+                                         sampler_coarse=True),
+                        training=False, sdf_fn_coarse=f_noisy)
+        hits = np.asarray(res.network_object_mask)
+        assert hits.sum() > 0
+        assert np.abs(np.asarray(f(res.points))[hits]).max() < 1e-3
+
+
+class TestMultiStageCompaction:
+    def test_chain_matches_full_when_capacity_suffices(self):
+        """A (4, 8)-stage chain with ample capacities must agree with
+        the uncompacted trace exactly."""
+        f = torus_sdf()
+        cam, d, gt = _ray_fan(seed=26)
+        full = ray_trace(f, cam, d, gt, jax.random.key(1),
+                         RayTracingConfig(sphere_tracing_iters=20),
+                         training=False)
+        chain = ray_trace(f, cam, d, gt, jax.random.key(1),
+                          RayTracingConfig(sphere_tracing_iters=20,
+                                           trace_compact_after=(4, 8),
+                                           trace_compact_fraction=(0.99,
+                                                                   0.99)),
+                          training=False)
+        np.testing.assert_array_equal(np.asarray(full.network_object_mask),
+                                      np.asarray(chain.network_object_mask))
+        np.testing.assert_allclose(np.asarray(full.dists),
+                                   np.asarray(chain.dists), atol=1e-5)
+
+    def test_chain_overflow_counted_and_valid(self):
+        f = torus_sdf()
+        cam, d, gt = _ray_fan(seed=27)
+        res = ray_trace(f, cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=30,
+                                         trace_compact_after=(3, 6),
+                                         trace_compact_fraction=(0.5,
+                                                                 4 / 128)),
+                        training=False)
+        assert int(res.trace_overflow) > 0
+        hits = np.asarray(res.network_object_mask)
+        assert hits.sum() > 0
+        assert np.abs(np.asarray(f(res.points))[hits]).max() < 1e-3
+
+    def test_chain_with_coarse_schedule(self):
+        """Chain composes with the precision schedule; coarse == fine
+        is the identity up to last-bit re-evaluation noise (the
+        per-stage revalidation recomputes f outside the loop, where XLA
+        may fuse differently — a ray sitting exactly at the threshold
+        can take one extra ~5e-5 step)."""
+        f = sphere_sdf()
+        cam, d, gt = _ray_fan(seed=28)
+        full = ray_trace(f, cam, d, gt, jax.random.key(1),
+                         RayTracingConfig(sphere_tracing_iters=20),
+                         training=False)
+        chain = ray_trace(f, cam, d, gt, jax.random.key(1),
+                          RayTracingConfig(sphere_tracing_iters=20,
+                                           coarse_trace_iters=6,
+                                           trace_compact_after=(6, 10),
+                                           trace_compact_fraction=(0.99,
+                                                                   0.99),
+                                           trace_compact_coarse=True,
+                                           sampler_coarse=True),
+                          training=False, sdf_fn_coarse=f)
+        np.testing.assert_array_equal(np.asarray(full.network_object_mask),
+                                      np.asarray(chain.network_object_mask))
+        np.testing.assert_allclose(np.asarray(full.dists),
+                                   np.asarray(chain.dists), atol=1e-4)
+
+
+class TestSamplerPresweep:
+    def test_matches_dense_on_sphere(self):
+        """Presweep + certificate must reproduce the dense sampler's
+        hits and depths on an exact SDF (Lipschitz 1 — the certificate
+        is sound, and flagged rays run the identical dense sweep)."""
+        f = sphere_sdf()
+        cam, d, gt = _ray_fan(seed=31)
+        dense = ray_trace(f, cam, d, gt, jax.random.key(1),
+                          RayTracingConfig(sphere_tracing_iters=3),
+                          training=False)
+        pre = ray_trace(f, cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=3,
+                                         sampler_presweep=26,
+                                         sampler_dense_fraction=0.99),
+                        training=False)
+        np.testing.assert_array_equal(np.asarray(dense.network_object_mask),
+                                      np.asarray(pre.network_object_mask))
+        both = np.asarray(dense.network_object_mask)
+        np.testing.assert_allclose(np.asarray(pre.dists)[both],
+                                   np.asarray(dense.dists)[both], atol=1e-5)
+        assert int(pre.sampler_overflow) == 0
+
+    def test_matches_dense_on_torus(self):
+        """Torus: thin features — flagged rays must still find the same
+        first crossing as the dense reference sweep."""
+        f = torus_sdf()
+        cam, d, gt = _ray_fan(seed=32)
+        dense = ray_trace(f, cam, d, gt, jax.random.key(1),
+                          RayTracingConfig(sphere_tracing_iters=3),
+                          training=False)
+        pre = ray_trace(f, cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=3,
+                                         sampler_presweep=26,
+                                         sampler_dense_fraction=0.99),
+                        training=False)
+        np.testing.assert_array_equal(np.asarray(dense.network_object_mask),
+                                      np.asarray(pre.network_object_mask))
+        both = np.asarray(dense.network_object_mask)
+        np.testing.assert_allclose(np.asarray(pre.dists)[both],
+                                   np.asarray(dense.dists)[both], atol=1e-5)
+
+    def test_dense_capacity_overflow_counted(self):
+        f = torus_sdf()
+        cam, d, gt = _ray_fan(seed=33)
+        pre = ray_trace(f, cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=3,
+                                         sampler_presweep=26,
+                                         sampler_dense_fraction=2 / 128),
+                        training=False)
+        assert int(pre.sampler_overflow) > 0
+        # overflowed rays are reported non-surface, not garbage
+        hits = np.asarray(pre.network_object_mask)
+        if hits.sum():
+            assert np.abs(np.asarray(f(pre.points))[hits]).max() < 5e-3
+
+    def test_composes_with_sampler_fraction(self):
+        f = sphere_sdf()
+        cam, d, gt = _ray_fan(seed=34)
+        dense = ray_trace(f, cam, d, gt, jax.random.key(1),
+                          RayTracingConfig(sphere_tracing_iters=3,
+                                           sampler_fraction=0.99),
+                          training=False)
+        pre = ray_trace(f, cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=3,
+                                         sampler_fraction=0.99,
+                                         sampler_presweep=26,
+                                         sampler_dense_fraction=0.99),
+                        training=False)
+        np.testing.assert_array_equal(np.asarray(dense.network_object_mask),
+                                      np.asarray(pre.network_object_mask))
