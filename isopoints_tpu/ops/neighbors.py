@@ -41,7 +41,8 @@ def _pad_to_multiple(x: jax.Array, axis: int, m: int):
     return jnp.pad(x, widths), n
 
 
-@partial(jax.jit, static_argnames=("k", "block_size", "exclude_self"))
+@partial(jax.jit, static_argnames=("k", "block_size", "exclude_self",
+                                   "method"))
 def knn_points(
     query: jax.Array,
     points: jax.Array,
@@ -50,6 +51,7 @@ def knn_points(
     k: int = 8,
     block_size: int = 1024,
     exclude_self: bool = False,
+    method: str = "auto",
 ) -> KNNResult:
     """Masked k-nearest-neighbors, blocked matmul formulation.
 
@@ -62,12 +64,26 @@ def knn_points(
       exclude_self: drop zero-distance self matches by index identity
         (valid only when query IS points; compares indices, not
         distances, so coincident distinct points are kept).
+      method: 'dense' (blocked matmul + masked-min sweeps), 'pallas'
+        (VMEM-streaming exact kernel, ops/pallas_knn.py), or 'auto':
+        pallas on the TPU backend when P ≥ 8192 and k ≤ 16 (measured
+        45.6 -> 19.5 ms at P=24.5k/k=6 — the dense path re-reads (N, P)
+        HBM tiles per sweep). Both are exact; index TIE-BREAKS can
+        differ at rounding-identical distances (~1e-7).
 
     Returns KNNResult with squared distances (parity: pytorch3d
     knn_points returns squared dists, used throughout the reference).
     """
     b, n, _ = query.shape
     p = points.shape[1]
+
+    if method == "auto":
+        method = ("pallas" if jax.default_backend() == "tpu"
+                  and p >= 8192 and k <= 16 else "dense")
+    if method == "pallas":
+        from isopoints_tpu.ops.pallas_knn import knn_points_pallas
+        return knn_points_pallas(query, points, query_mask, points_mask,
+                                 k=k, exclude_self=exclude_self)
     if points_mask is None:
         points_mask = jnp.ones((b, p), dtype=bool)
     if query_mask is None:
