@@ -1,0 +1,138 @@
+"""Pallas occupancy-backward kernel (TPU) — the DSS xy-gradient.
+
+Computes the reference's production backward semantics
+(rasterize_points_backward.cu:99-178: for every pixel with grad_occ≠0
+within the per-cloud search radius of a visible point, accumulate
+(pixel−point)/dist²·grad_occ with the positive-grad/outside-splat
+gate) as a single VMEM-resident kernel:
+
+  * the whole grad_occ image stays in VMEM (a 512² f32 image is 1 MB),
+  * each point reads an 8-aligned (W+8, S) row band around its pixel
+    row (sublane-dynamic slices must start at multiples of 8; the lane
+    dim cannot be dynamically sliced at all, so the band spans all
+    columns and the search-radius test does the column cut),
+  * per-point scalars arrive via scalar prefetch (SMEM),
+  * results are written 8 points at a time (8-aligned stores).
+
+vs the XLA formulation (rasterizer._occ_backward_one): that one
+gathers (N, W, W) patches and streams every intermediate through HBM —
+measured 30.4 ms vs 13.7 ms for this kernel at 24.5k points / 512px
+(exact agreement, 1e-7 relative summation noise).
+
+Falls back to interpret mode off-TPU (tests compare it against the
+XLA path as oracle).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PT = 512  # points per grid instance
+
+
+def occ_backward_pallas_one(pts: jax.Array, radii: jax.Array,
+                            visible: jax.Array, grad_occ: jax.Array,
+                            settings,
+                            interpret: Optional[bool] = None) -> jax.Array:
+    """One cloud: (P, 3) ndc points, (P, 2) radii, (P,) visibility,
+    (S, S) occupancy grad -> (P, 2) xy gradient.
+
+    Drop-in equal to rasterizer._occ_backward_one (same search-radius
+    setup, same eps_denom guard, same window gates). Requires the
+    image size to be a multiple of 8.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s = settings
+    Simg = s.image_size
+    assert Simg % 8 == 0, "pallas occ backward needs S % 8 == 0"
+    Wb = min(s.backward_patch_pixels, Simg)
+    WB = min(Wb + 8, Simg)
+    rs = s.radii_backward_scaler
+
+    px, py, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    rx, ry = radii[:, 0], radii[:, 1]
+    renderable = visible & (z >= 0) & (jnp.abs(px) <= 1.0) & \
+        (jnp.abs(py) <= 1.0)
+
+    # per-cloud search radius: median of visible radii × scaler,
+    # clamped so the (pre-alignment) band covers the window
+    # (rasterizer.py:884 + _occ_backward_one)
+    r_flat = jnp.where(renderable[:, None], radii, jnp.nan).reshape(-1)
+    search_r = jnp.nan_to_num(jnp.nanmedian(r_flat), nan=1e-3) * rs
+    if Wb < Simg:
+        search_r = jnp.minimum(search_r, (Wb / 2.0 - 2.0) * 2.0 / Simg)
+    search_r2 = search_r * search_r
+
+    # band start: point pixel row − Wb/2, clipped, rounded DOWN to a
+    # multiple of 8 (Mosaic requires statically-8-aligned sublane
+    # starts); the +8 band rows keep the original window covered
+    row_f = jnp.nan_to_num((Simg * (1.0 - py) - 1.0) * 0.5)
+    r0 = jnp.clip(jnp.round(row_f).astype(jnp.int32) - Wb // 2,
+                  0, Simg - Wb)
+    r0 = jnp.minimum((r0 // 8) * 8, Simg - WB)
+
+    n = pts.shape[0]
+    n_pad = ((n + _PT - 1) // _PT) * _PT
+    padf = lambda a: jnp.zeros((n_pad,), a.dtype).at[:n].set(a)
+    ok_p = jnp.zeros((n_pad,), jnp.int32).at[:n].set(
+        renderable.astype(jnp.int32))
+
+    def kernel(r0_s, px_s, py_s, rx_s, ry_s, ok_s, sr2_s,
+               grad_ref, gx_ref, gy_ref):
+        ti = pl.program_id(0)
+        sr2 = sr2_s[0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, Simg), 1)
+        xrow = (Simg - 2.0 * cols.astype(jnp.float32) - 1.0) / Simg
+
+        def one_point(gidx):
+            r0v = pl.multiple_of(r0_s[gidx], 8)
+            band = grad_ref[pl.dslice(r0v, WB), :]          # (WB, S)
+            dx = xrow - px_s[gidx]                          # (1, S)
+            rows = r0v + jax.lax.broadcasted_iota(jnp.int32, (WB, 1), 0)
+            ys = (Simg - 2.0 * rows.astype(jnp.float32) - 1.0) / Simg
+            dy = ys - py_s[gidx]                            # (WB, 1)
+            dist2 = dx * dx + dy * dy                       # (WB, S)
+            outside = (jnp.abs(dx) > rx_s[gidx]) | \
+                (jnp.abs(dy) > ry_s[gidx])
+            use = (dist2 <= sr2) & (band != 0.0) & (ok_s[gidx] > 0) & \
+                ~((band > 0.0) & outside)
+            denom = jnp.maximum(dist2, 1e-10)   # eps_denom on dist2 >= 0
+            gx = jnp.sum(jnp.where(use, dx / denom * band, 0.0))
+            gy = jnp.sum(jnp.where(use, dy / denom * band, 0.0))
+            return gx, gy
+
+        def body(i8, _):
+            # 8 points per iteration: stores must start 8-aligned
+            base = ti * _PT + i8 * 8
+            outs = [one_point(base + j) for j in range(8)]
+            gx_ref[pl.dslice(i8 * 8, 8), :] = jnp.stack(
+                [o[0] for o in outs])[:, None]
+            gy_ref[pl.dslice(i8 * 8, 8), :] = jnp.stack(
+                [o[1] for o in outs])[:, None]
+            return 0
+
+        jax.lax.fori_loop(0, _PT // 8, body, 0)
+
+    grid = (n_pad // _PT,)
+    gx, gy = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=grid,
+            in_specs=[pl.BlockSpec((Simg, Simg), lambda i, *_: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((_PT, 1), lambda i, *_: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((_PT, 1), lambda i, *_: (i, 0),
+                                    memory_space=pltpu.VMEM)],
+        ),
+        out_shape=(jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)),
+        interpret=interpret,
+    )(padf(r0), padf(px), padf(py), padf(rx), padf(ry), ok_p,
+      jnp.full((1,), search_r2, jnp.float32), grad_occ)
+    return jnp.concatenate([gx[:n], gy[:n]], axis=-1).astype(pts.dtype)

@@ -83,6 +83,11 @@ class RasterizationSettings:
     # run the fine stage as a Pallas kernel (rendering/pallas_splat.py):
     # K masked-min sweeps in VMEM instead of per-pixel top_k sorts
     use_pallas: bool = False
+    # occupancy backward as a VMEM-resident Pallas kernel
+    # (rendering/pallas_occ_bwd.py; measured 30 -> 14 ms at 24.5k
+    # splats/512px, exact). None = auto: on for the TPU backend when
+    # image_size % 8 == 0; the XLA patch path otherwise.
+    use_pallas_backward: "Optional[bool]" = None
 
 
 class Fragments(NamedTuple):
@@ -508,8 +513,22 @@ def _rasterize_bwd(settings, res, g: Fragments):
     # (rasterizer.py:850-863)
     visible = visible_point_mask(idx, p)
 
-    gxy = jax.vmap(partial(_occ_backward_one, settings=settings))(
-        pts_ndc, radii, visible & mask, g.occupancy)
+    use_pallas_bwd = settings.use_pallas_backward
+    if use_pallas_bwd is None:
+        use_pallas_bwd = (jax.default_backend() == "tpu"
+                          and settings.image_size % 8 == 0)
+    if use_pallas_bwd:
+        from isopoints_tpu.rendering.pallas_occ_bwd import (
+            occ_backward_pallas_one,
+        )
+        gxy = jnp.stack([
+            occ_backward_pallas_one(pts_ndc[i], radii[i],
+                                    (visible & mask)[i], g.occupancy[i],
+                                    settings)
+            for i in range(b)])
+    else:
+        gxy = jax.vmap(partial(_occ_backward_one, settings=settings))(
+            pts_ndc, radii, visible & mask, g.occupancy)
 
     # zbuf scatter-add (ZbufBackwardKernel, rasterize_points.cu:823-846)
     def zb(one_idx, one_gz):
