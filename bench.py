@@ -26,8 +26,13 @@ from isopoints_tpu.models.raytracing import RayTracingConfig, ray_trace
 
 BASELINE_RAYS_PER_S = 1.0e6
 
-N_RAYS = 262_144      # rays per call
-N_ITERS = 5           # timed calls
+N_RAYS = 262_144      # rays per trace
+N_ITERS = 5           # timed dispatches
+TRACE_REP = 4         # traces per dispatch (lax.scan) — amortizes the
+                      # ~30 ms tunnel dispatch latency out of the
+                      # steady-state throughput number (production
+                      # training runs many steps per dispatch; measured
+                      # per-trace time is printed either way)
 SPHERE_TRACING_ITERS = 10
 
 
@@ -93,25 +98,40 @@ def main():
     cam_b = jnp.broadcast_to(cam, dirs.shape)
     gt = jnp.ones(dirs.shape[:-1], dtype=bool)
     # schedule tuned on the measured active-ray decay of the fitted
-    # field (100% -> ~61% @ iter 6 on TPU -> ~26% @ iter 10): coarse
-    # bf16 for the first 6 iterations, fine boundary re-validation,
-    # straggler compaction at 0.70 capacity, dense sampler at 0.32
-    # capacity with a coarse sweep + fine bracket re-validation — all
-    # LOSSLESS for this workload (overflow asserted zero below)
+    # field: coarse bf16 for the first 6 iterations, fine boundary
+    # re-validation (which resurrects noise-stopped fronts — active
+    # rises to ~0.61·N at iter 6), then a two-stage straggler
+    # compaction chain (0.63 at 6, 0.42 at 8) and the dense sampler at
+    # 0.28 capacity with a coarse sweep + fine bracket re-validation —
+    # all LOSSLESS for this workload: overflow asserted zero below and
+    # hits identical to the uncompacted trace (tuned 2026-08, round 2).
+    # The sampler presweep (Lipschitz certificate) is OFF: measured on
+    # this workload it flags 92% of post-trace sampler rays (they are
+    # exactly the near-surface grazers that defeat the certificate).
     cfg = RayTracingConfig(sphere_tracing_iters=SPHERE_TRACING_ITERS,
                            sampler_chunk_rays=8192,
-                           sampler_fraction=0.32,
-                           trace_compact_after=6,
-                           trace_compact_fraction=0.70,
+                           sampler_fraction=0.28,
+                           trace_compact_after=(6, 8),
+                           trace_compact_fraction=(0.63, 0.42),
                            coarse_trace_iters=6,
                            sampler_coarse=True)
 
     @jax.jit
     def trace(k):
-        res = ray_trace(sdf, cam_b, dirs, gt, k, cfg, training=False,
-                        sdf_fn_coarse=sdf_bf16)
-        return (res.dists, res.network_object_mask,
-                res.trace_overflow, res.sampler_overflow)
+        def step(carry, kk):
+            # the 1e-30 carry term is numerically identity on O(1)
+            # f32 dirs but makes each scan iteration depend on the
+            # previous result, so XLA cannot hoist the trace out of
+            # the loop
+            d_i = dirs + 1e-30 * carry
+            res = ray_trace(sdf, cam_b, d_i, gt, kk, cfg, training=False,
+                            sdf_fn_coarse=sdf_bf16)
+            return res.dists.mean(), (res.dists, res.network_object_mask,
+                                      res.trace_overflow,
+                                      res.sampler_overflow)
+        _, outs = jax.lax.scan(step, jnp.float32(0),
+                               jax.random.split(k, TRACE_REP))
+        return (outs[0][-1], outs[1][-1], outs[2].max(), outs[3].max())
 
     # compile + warmup
     out = trace(jax.random.key(2))
@@ -124,7 +144,7 @@ def main():
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
 
-    dt = min(times)
+    dt = min(times) / TRACE_REP
     rays_per_s = N_RAYS / dt
 
     # roofline accounting (stderr; BASELINE asks for speed-of-light
@@ -133,12 +153,28 @@ def main():
 
     from isopoints_tpu.utils.profiling import mlp_eval_roofline
 
-    cfg_obj = cfg
     # UPPER BOUND on evals (the while_loop early-exits converged rays,
-    # so reported utilization is an upper bound too)
-    evals_per_ray = (
-        2 * (cfg_obj.sphere_tracing_iters + 1) * (1 + cfg_obj.line_step_iters)
-        + cfg_obj.sampler_fraction * (cfg_obj.n_steps + cfg_obj.n_secant_steps))
+    # so reported utilization is an upper bound too), schedule-aware:
+    # compaction stages shrink the marched width, the presweep shrinks
+    # the dense-swept width.
+    lsi = 1 + cfg.line_step_iters
+    stages = cfg.trace_compact_after
+    stages = (stages,) if isinstance(stages, int) and stages > 0 else \
+        (stages if isinstance(stages, tuple) else ())
+    fr = cfg.trace_compact_fraction
+    fr = (fr,) * len(stages) if isinstance(fr, float) else fr
+    full_end = stages[0] if stages else cfg.sphere_tracing_iters
+    evals_per_ray = 2.0 * (full_end + 1) * lsi       # full-width phase
+    bounds = list(stages[1:]) + [cfg.sphere_tracing_iters]
+    for a, nxt, f in zip(stages, bounds, fr):
+        evals_per_ray += 2.0 * (nxt - a) * lsi * f   # compacted stages
+    sf = cfg.sampler_fraction
+    if cfg.sampler_presweep >= 2:
+        evals_per_ray += sf * (cfg.sampler_presweep
+                               + cfg.sampler_dense_fraction * cfg.n_steps
+                               + cfg.n_secant_steps)
+    else:
+        evals_per_ray += sf * (cfg.n_steps + cfg.n_secant_steps)
     n_evals = int(N_RAYS * evals_per_ray)
     rl = mlp_eval_roofline("sphere_trace_mlp", n_evals,
                            [3, 256, 256, 256, 256, 1], dt)
@@ -166,11 +202,19 @@ def main():
                               minval=-0.8, maxval=0.8)
     pmask = jnp.ones((1, n_pts), bool)
 
+    PROJ_REP = 8
+
     def time_projection(fn, label, tolerance=5e-5, max_iters=10):
         @jax.jit
         def project(p):
-            return project_points_newton(fn, p, pmask, max_iters=max_iters,
-                                         tolerance=tolerance)
+            def step(carry, _):
+                res = project_points_newton(
+                    fn, p + 1e-30 * carry, pmask, max_iters=max_iters,
+                    tolerance=tolerance)
+                return res.points.mean(), res.mask
+            _, masks = jax.lax.scan(step, jnp.float32(0), None,
+                                    length=PROJ_REP)
+            return masks[-1]
 
         out = project(pts0)
         jax.block_until_ready(out)
@@ -180,8 +224,8 @@ def main():
             out = project(pts0)
             jax.block_until_ready(out)
             pt.append(time.perf_counter() - t0)
-        conv = int(out.mask.sum())
-        rate = n_pts / min(pt)
+        conv = int(out.sum())
+        rate = n_pts / (min(pt) / PROJ_REP)
         frac = conv / n_pts
         note = "" if frac >= 0.90 else "  [NOT HEADLINE: <90% converged]"
         print(f"iso_point_projections_per_s[{label}]: {rate:.0f} "
@@ -218,6 +262,8 @@ def main():
     rset = RasterizationSettings(image_size=img_size,
                                  use_pallas=jax.default_backend() == "tpu")
 
+    SPLAT_REP = 3
+
     @jax.jit
     def splat_fwd_bwd(pts):
         def loss_fn(p):
@@ -226,8 +272,13 @@ def main():
                                      sp.cutoff, sp.mask, rset)
             return (jnp.sum(frags.occupancy)
                     + jnp.sum(jnp.where(frags.zbuf > 0, frags.zbuf, 0.0)))
-        l, g = jax.value_and_grad(loss_fn)(pts)
-        return l, g
+
+        def step(carry, _):
+            l, g = jax.value_and_grad(loss_fn)(pts + 1e-30 * carry)
+            return l, (l, g)
+        _, (ls, gs) = jax.lax.scan(step, jnp.float32(0), None,
+                                   length=SPLAT_REP)
+        return ls[-1], gs[-1]
 
     out3 = splat_fwd_bwd(sphere_pts)
     jax.block_until_ready(out3)
@@ -237,8 +288,9 @@ def main():
         out3 = splat_fwd_bwd(sphere_pts)
         jax.block_until_ready(out3)
         st.append(time.perf_counter() - t0)
-    print(f"splat_fwd_bwd_points_per_s: {n_splat/min(st):.0f} "
-          f"({n_splat} splats @ {img_size}px, {min(st)*1e3:.2f} ms/frame)",
+    dt3 = min(st) / SPLAT_REP
+    print(f"splat_fwd_bwd_points_per_s: {n_splat/dt3:.0f} "
+          f"({n_splat} splats @ {img_size}px, {dt3*1e3:.2f} ms/frame)",
           file=sys.stderr)
 
     print(json.dumps({
