@@ -154,12 +154,65 @@ def _resolve_mode(bf16: Optional[bool], precision: Optional[str]) -> str:
 # SIREN variant
 # ---------------------------------------------------------------------------
 
+_TWO_PI_HI = 6.28125                    # Cody-Waite split of 2π: the
+_TWO_PI_LO = 1.9353071795864769e-03     # hi part is exact in 9 bits
+
+# near-minimax odd/even polynomials for sin/cos on [-π, π], fitted on
+# Chebyshev nodes (max abs err 9.6e-8 / 1.1e-8). Mosaic's hardware
+# sin/cos lowering costs ~12 ms of a 19 ms 524k-point SIREN eval; the
+# polynomial pair brings the kernel to 8.3 ms at 5.7e-7 end-to-end
+# error vs the hardware-sin kernel (both are approximations of exact
+# sin — the SDF tracing/projection tolerance is 5e-5).
+_SIN_C = (9.9999959990e-01, -1.6666552631e-01, 8.3324029612e-03,
+          -1.9808632624e-04, 2.6997138282e-06, -2.0362212135e-08)
+_COS_C = (9.9999998905e-01, -4.9999989101e-01, 4.1666489214e-02,
+          -1.3887803571e-03, 2.4769882914e-05, -2.7079024322e-07,
+          1.7245068538e-09)
+
+
+def _range_reduce(x):
+    """x -> r in [-π, π] with x = r (mod 2π), Cody-Waite two-constant
+    reduction (exact k·hi subtraction keeps f32 precision for the
+    |ω·z| ≲ 100 arguments SIREN produces)."""
+    k = jnp.round(x * (1.0 / (2.0 * math.pi)))
+    return (x - k * _TWO_PI_HI) - k * _TWO_PI_LO
+
+
+def _poly_eval(r2, coefs):
+    acc = coefs[-1]
+    for c in coefs[-2::-1]:
+        acc = acc * r2 + c
+    return acc
+
+
+def _sin_fast(x):
+    r = _range_reduce(x)
+    return r * _poly_eval(r * r, _SIN_C)
+
+
+def _sincos_fast(x):
+    """Fused sin+cos sharing one range reduction (the tangent path
+    needs both of the same argument)."""
+    r = _range_reduce(x)
+    r2 = r * r
+    return r * _poly_eval(r2, _SIN_C), _poly_eval(r2, _COS_C)
+
+
 def _siren_kernel(n_layers: int, first_omega: float, hidden_omega: float,
                   with_grad: bool, mode: str, stride: int):
     """Kernel body for a SIREN stack. Weight refs come per layer as
-    (w[, w_lo], b) groups of `stride` refs (see _pack_weights)."""
+    (w[, w_lo], b) groups of `stride` refs (see _pack_weights).
+
+    'bf16'/'f32x3' use the polynomial sin/cos (above); 'highest' (the
+    strict-parity mode) keeps the hardware transcendentals."""
     mm = _make_mm(mode)
     mmg = _make_mmg(mode)
+    if mode == "highest":
+        sin_f = jnp.sin
+        sincos_f = lambda x: (jnp.sin(x), jnp.cos(x))
+    else:
+        sin_f = _sin_fast
+        sincos_f = _sincos_fast
 
     def kernel(x_ref, *refs):
         if with_grad:
@@ -174,21 +227,25 @@ def _siren_kernel(n_layers: int, first_omega: float, hidden_omega: float,
         x = x_ref[:]                                   # (T, 3)
         wref0, b0 = layer(0)
         z = mm(x, wref0) + b0[:]
-        h = jnp.sin(first_omega * z)
         if with_grad:
+            h, cz = sincos_f(first_omega * z)
             # tangents: list of 3 (T, H) arrays (see _make_mmg). At the
             # first layer each is ω₀·cos(ω₀z)·W0[k] (e_k @ W0 = row k).
             w0 = wref0[0][:].astype(jnp.float32)       # (3, H)
-            dh = first_omega * jnp.cos(first_omega * z)
+            dh = first_omega * cz
             jac = [dh * w0[k:k + 1, :] for k in range(3)]
+        else:
+            h = sin_f(first_omega * z)
 
         for l in range(n_layers):
             wref, b = layer(1 + l)
             z = mm(h, wref) + b[:]
             if with_grad:
-                dh = hidden_omega * jnp.cos(hidden_omega * z)
+                h, cz = sincos_f(hidden_omega * z)
+                dh = hidden_omega * cz
                 jac = [dh * mmg(j, wref) for j in jac]
-            h = jnp.sin(hidden_omega * z)
+            else:
+                h = sin_f(hidden_omega * z)
 
         wref, b = layer(1 + n_layers)
         out = mm(h, wref) + b[:]  # (T, 1)
