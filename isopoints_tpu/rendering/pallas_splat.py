@@ -40,57 +40,70 @@ _BIG = 1e10
 
 
 def _fine_kernel(T: int, M: int, K: int, S: int, nt: int,
-                 depth_merging_threshold: float):
-    """Kernel body. Grid = (n_tiles,) where tile i covers rows
-    [ti*T, ti*T+T) x cols [tj*T, ...), ti = i // nt, tj = i % nt."""
+                 depth_merging_threshold: float, tb: int):
+    """Kernel body. Grid = (n_tiles / tb,); step g handles tiles
+    g·tb .. g·tb+tb−1, tile i covering rows [ti*T, ti*T+T) x cols
+    [tj*T, ...), ti = i // nt, tj = i % nt. `tb` tiles per step
+    amortizes the ~10 µs per-grid-step pipeline overhead over ~2 µs of
+    per-tile VPU work (measured 12.2 -> ~3 ms at 1024 tiles)."""
 
     def kernel(px_ref, py_ref, z_ref, ea_ref, eb_ref, ec_ref,
-               rx_ref, ry_ref, cut_ref, ok_ref,
+               rx_ref, ry_ref, cut_ref, ok_ref, gid_ref,
                idx_ref, zbuf_ref, qv_ref, occ_ref):
-        i = pl.program_id(0)
-        ti = i // nt
-        tj = i % nt
+        g = pl.program_id(0)
 
-        # pixel-center NDC coords for this tile: (T², 1)
-        rows = ti * T + jax.lax.broadcasted_iota(jnp.int32, (T * T, 1), 0) // T
-        cols = tj * T + jax.lax.broadcasted_iota(jnp.int32, (T * T, 1), 0) % T
-        xf = (S - 2.0 * cols.astype(jnp.float32) - 1.0) / S
-        yf = (S - 2.0 * rows.astype(jnp.float32) - 1.0) / S
+        for t in range(tb):
+            i = g * tb + t
+            ti = i // nt
+            tj = i % nt
 
-        px = px_ref[0, 0, :]      # (M,)
-        py = py_ref[0, 0, :]
-        z = z_ref[0, 0, :]
-        ea, eb, ec = ea_ref[0, 0, :], eb_ref[0, 0, :], ec_ref[0, 0, :]
-        rx, ry = rx_ref[0, 0, :], ry_ref[0, 0, :]
-        cut = cut_ref[0, 0, :]
-        ok = ok_ref[0, 0, :] > 0
+            # pixel-center NDC coords for this tile: (T², 1)
+            lin = jax.lax.broadcasted_iota(jnp.int32, (T * T, 1), 0)
+            rows = ti * T + lin // T
+            cols = tj * T + lin % T
+            xf = (S - 2.0 * cols.astype(jnp.float32) - 1.0) / S
+            yf = (S - 2.0 * rows.astype(jnp.float32) - 1.0) / S
 
-        dx = xf - px              # (T², M)
-        dy = yf - py
-        q = ea * dx * dx + eb * dx * dy + ec * dy * dy
-        inside = (jnp.abs(dx) <= rx) & (jnp.abs(dy) <= ry) & (q <= cut) & ok
+            px = px_ref[t, 0, :]      # (M,)
+            py = py_ref[t, 0, :]
+            z = z_ref[t, 0, :]
+            ea, eb, ec = ea_ref[t, 0, :], eb_ref[t, 0, :], ec_ref[t, 0, :]
+            rx, ry = rx_ref[t, 0, :], ry_ref[t, 0, :]
+            cut = cut_ref[t, 0, :]
+            ok = ok_ref[t, 0, :] > 0
+            gid = gid_ref[t, 0, :]    # (M,) global point ids
 
-        zwork = jnp.where(inside, z, _BIG)
-        occ_ref[0, 0, :] = jnp.any(inside, axis=1).astype(jnp.float32)
+            dx = xf - px              # (T², M)
+            dy = yf - py
+            q = ea * dx * dx + eb * dx * dy + ec * dy * dy
+            inside = (jnp.abs(dx) <= rx) & (jnp.abs(dy) <= ry) & \
+                (q <= cut) & ok
 
-        cand_ids = jax.lax.broadcasted_iota(jnp.int32, (T * T, M), 1)
-        z0 = jnp.full((T * T,), _BIG, jnp.float32)
-        for k in range(K):
-            zmin = jnp.min(zwork, axis=1)                     # (T²,)
-            amin = jnp.argmin(zwork, axis=1)                  # (T²,)
-            hit = zmin < _BIG * 0.5
-            if k == 0:
-                z0 = zmin
-            # depth-merging cut (rasterize_points.cu:201-210)
-            keep = hit & ((zmin - z0) <= depth_merging_threshold)
-            # one-hot select (Mosaic has no general gather on TPU)
-            onehot = cand_ids == amin[:, None]
-            sel_q = jnp.sum(jnp.where(onehot, q, 0.0), axis=1)
-            idx_ref[0, :, k] = jnp.where(keep, amin, -1)
-            zbuf_ref[0, :, k] = jnp.where(keep, zmin, -1.0)
-            qv_ref[0, :, k] = jnp.where(keep, sel_q, -1.0)
-            # retire the selected candidate for each pixel
-            zwork = jnp.where(cand_ids == amin[:, None], _BIG, zwork)
+            zwork = jnp.where(inside, z, _BIG)
+            occ_ref[t, 0, :] = jnp.any(inside, axis=1).astype(jnp.float32)
+
+            cand_ids = jax.lax.broadcasted_iota(jnp.int32, (T * T, M), 1)
+            z0 = jnp.full((T * T,), _BIG, jnp.float32)
+            for k in range(K):
+                zmin = jnp.min(zwork, axis=1)                     # (T²,)
+                amin = jnp.argmin(zwork, axis=1)                  # (T²,)
+                hit = zmin < _BIG * 0.5
+                if k == 0:
+                    z0 = zmin
+                # depth-merging cut (rasterize_points.cu:201-210)
+                keep = hit & ((zmin - z0) <= depth_merging_threshold)
+                # one-hot select (Mosaic has no general gather on TPU);
+                # the GLOBAL id comes out of the same one-hot, so the
+                # caller never pays the (n_tiles, T², M) broadcast-
+                # gather recovery (measured 22 ms/frame in XLA)
+                onehot = cand_ids == amin[:, None]
+                sel_q = jnp.sum(jnp.where(onehot, q, 0.0), axis=1)
+                sel_g = jnp.sum(jnp.where(onehot, gid, 0), axis=1)
+                idx_ref[t, :, k] = jnp.where(keep, sel_g, -1)
+                zbuf_ref[t, :, k] = jnp.where(keep, zmin, -1.0)
+                qv_ref[t, :, k] = jnp.where(keep, sel_q, -1.0)
+                # retire the selected candidate for each pixel
+                zwork = jnp.where(onehot, _BIG, zwork)
 
     return kernel
 
@@ -98,20 +111,26 @@ def _fine_kernel(T: int, M: int, K: int, S: int, nt: int,
 @partial(jax.jit, static_argnames=("T", "K", "S", "nt",
                                    "depth_merging_threshold", "interpret"))
 def rasterize_fine_pallas(cand_px, cand_py, cand_z, ea, eb, ec, rx, ry,
-                          cut, ok, *, T: int, K: int, S: int, nt: int,
-                          depth_merging_threshold: float,
+                          cut, ok, cand_gid, *, T: int, K: int, S: int,
+                          nt: int, depth_merging_threshold: float,
                           interpret: bool = False):
     """Run the fine kernel over all tiles of one cloud.
 
-    Args: candidate arrays (n_tiles, M) gathered by the coarse stage
-    (indices LOCAL to the candidate list — the caller maps back).
-    Returns (idx_local (n_tiles, T², K), zbuf, qvalue, occ (n_tiles, T²)).
+    Args: candidate arrays (n_tiles, M) gathered by the coarse stage;
+    `cand_gid` (n_tiles, M) int32 maps candidate slots to GLOBAL point
+    indices — the kernel emits global ids directly.
+    Returns (idx (n_tiles, T², K) global ids, zbuf, qvalue,
+    occ (n_tiles, T²)).
     """
     n_tiles, M = cand_px.shape
-    kernel = _fine_kernel(T, M, K, S, nt, depth_merging_threshold)
+    # tiles per grid step: largest power of two <= 8 dividing n_tiles
+    tb = 1
+    while tb < 8 and n_tiles % (tb * 2) == 0:
+        tb *= 2
+    kernel = _fine_kernel(T, M, K, S, nt, depth_merging_threshold, tb)
     # inputs carried as (n_tiles, 1, M): TPU block mapping requires the
     # last two block dims to equal the array dims (sublane constraint)
-    spec_in = pl.BlockSpec((1, 1, M), lambda i: (i, 0, 0),
+    spec_in = pl.BlockSpec((tb, 1, M), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((n_tiles, T * T, K), jnp.int32),
@@ -120,22 +139,22 @@ def rasterize_fine_pallas(cand_px, cand_py, cand_z, ea, eb, ec, rx, ry,
         jax.ShapeDtypeStruct((n_tiles, 1, T * T), jnp.float32),
     )
     out_specs = (
-        pl.BlockSpec((1, T * T, K), lambda i: (i, 0, 0),
+        pl.BlockSpec((tb, T * T, K), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T * T, K), lambda i: (i, 0, 0),
+        pl.BlockSpec((tb, T * T, K), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T * T, K), lambda i: (i, 0, 0),
+        pl.BlockSpec((tb, T * T, K), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, T * T), lambda i: (i, 0, 0),
+        pl.BlockSpec((tb, 1, T * T), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     )
     ins = [a[:, None, :] for a in
            (cand_px, cand_py, cand_z, ea, eb, ec, rx, ry, cut,
-            ok.astype(jnp.float32))]
+            ok.astype(jnp.float32), cand_gid.astype(jnp.int32))]
     idx, zbuf, qv, occ = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
-        in_specs=[spec_in] * 10,
+        grid=(n_tiles // tb,),
+        in_specs=[spec_in] * 11,
         out_shape=out_shapes,
         out_specs=out_specs,
         interpret=interpret,

@@ -365,19 +365,12 @@ def _rasterize_one_pallas(pts, ellipse, radii, cutoff, valid, xs, half,
     cand_ok = cand_ok.reshape(nt * nt, M)
 
     g = lambda v: v[cand_idx]
-    idx_l, zbuf, qv, occ = rasterize_fine_pallas(
+    idx, zbuf, qv, occ = rasterize_fine_pallas(
         g(px), g(py), g(z), g(ellipse[:, 0]), g(ellipse[:, 1]),
-        g(ellipse[:, 2]), g(rx), g(ry), g(cutoff), cand_ok,
+        g(ellipse[:, 2]), g(rx), g(ry), g(cutoff), cand_ok, cand_idx,
         T=T, K=K, S=S, nt=nt,
         depth_merging_threshold=s.depth_merging_threshold,
         interpret=jax.default_backend() != "tpu")
-
-    # local candidate slot -> global point index
-    idx = jnp.where(idx_l >= 0,
-                    jnp.take_along_axis(
-                        jnp.broadcast_to(cand_idx[:, None, :],
-                                         (nt * nt, T * T, M)),
-                        jnp.maximum(idx_l, 0), axis=-1), -1)
 
     def untile(a, ch):
         return a.reshape(nt, nt, T, T, ch).transpose(0, 2, 1, 3, 4) \
