@@ -101,20 +101,25 @@ def main():
     # field: coarse bf16 for the first 6 iterations, fine boundary
     # re-validation (which resurrects noise-stopped fronts — active
     # rises to ~0.61·N at iter 6), then a two-stage straggler
-    # compaction chain (0.63 at 6, 0.42 at 8) and the dense sampler at
-    # 0.28 capacity with a coarse sweep + fine bracket re-validation —
-    # all LOSSLESS for this workload: overflow asserted zero below and
-    # hits identical to the uncompacted trace (tuned 2026-08, round 2).
+    # compaction chain (0.63 at 6, 0.42 at 9) running the FUSED
+    # backstep (one eval per fine iteration; 11 total iterations give
+    # crossing rays the reference's effective forward budget at half
+    # the eval cost — measured: MORE rays trace-converge than the
+    # reference-path config, 136990 vs 130679 hits), and the dense
+    # sampler at 0.23 capacity (54499 rays measured unconverged) with
+    # a coarse sweep + fine bracket re-validation. All LOSSLESS for
+    # this workload: overflow asserted zero below (tuned 2026-08 r2).
     # The sampler presweep (Lipschitz certificate) is OFF: measured on
     # this workload it flags 92% of post-trace sampler rays (they are
     # exactly the near-surface grazers that defeat the certificate).
-    cfg = RayTracingConfig(sphere_tracing_iters=SPHERE_TRACING_ITERS,
+    cfg = RayTracingConfig(sphere_tracing_iters=11,
                            sampler_chunk_rays=8192,
-                           sampler_fraction=0.28,
-                           trace_compact_after=(6, 8),
+                           sampler_fraction=0.23,
+                           trace_compact_after=(6, 9),
                            trace_compact_fraction=(0.63, 0.42),
                            coarse_trace_iters=6,
-                           sampler_coarse=True)
+                           sampler_coarse=True,
+                           fused_backstep=True)
 
     @jax.jit
     def trace(k):
@@ -158,16 +163,17 @@ def main():
     # compaction stages shrink the marched width, the presweep shrinks
     # the dense-swept width.
     lsi = 1 + cfg.line_step_iters
+    lsi_fine = 1 if cfg.fused_backstep else lsi  # fused: 1 eval/iter
     stages = cfg.trace_compact_after
     stages = (stages,) if isinstance(stages, int) and stages > 0 else \
         (stages if isinstance(stages, tuple) else ())
     fr = cfg.trace_compact_fraction
     fr = (fr,) * len(stages) if isinstance(fr, float) else fr
     full_end = stages[0] if stages else cfg.sphere_tracing_iters
-    evals_per_ray = 2.0 * (full_end + 1) * lsi       # full-width phase
+    evals_per_ray = 2.0 * (full_end + 1) * lsi       # full-width coarse
     bounds = list(stages[1:]) + [cfg.sphere_tracing_iters]
     for a, nxt, f in zip(stages, bounds, fr):
-        evals_per_ray += 2.0 * (nxt - a) * lsi * f   # compacted stages
+        evals_per_ray += 2.0 * (nxt - a) * lsi_fine * f  # compacted stages
     sf = cfg.sampler_fraction
     if cfg.sampler_presweep >= 2:
         evals_per_ray += sf * (cfg.sampler_presweep

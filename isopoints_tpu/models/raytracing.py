@@ -238,6 +238,10 @@ class RayTracingConfig:
     # budget is shared between forward steps and backsteps, so give the
     # loop ~20% more iterations for the same convergence; at equal eval
     # budget it converges strictly more rays (each iteration costs half).
+    # Applies to FINE-precision loops only: a noisy bf16 coarse fn makes
+    # fronts near the surface cross-backstep-recross every other
+    # iteration (measured 42-60k crossings/iter on the bench workload),
+    # so coarse loops always keep the in-iteration backstep.
     fused_backstep: bool = False
     # run the phase-2 compacted straggler loop with the coarse fn too,
     # then re-validate its fronts once at fine precision: fronts the
@@ -355,6 +359,7 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
         return state7[:6] + (zi, zi, z, z, state7[6])
 
     def make_loop(cam, dirs, start_it: int, max_iters: int, fn=None):
+        is_coarse = fn is not None and fn is not sdf_fn
         fn = fn or sdf_fn
 
         def eval_pair(ts, te):
@@ -439,8 +444,9 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
                     bk_s, bk_e, cur_s, cur_e, it + 1)
 
         def run(state):
+            use_fused = cfg.fused_backstep and not is_coarse
             return jax.lax.while_loop(
-                cond, body_fused if cfg.fused_backstep else body,
+                cond, body_fused if use_fused else body,
                 state[:10] + (jnp.int32(start_it),))
 
         return run, eval_pair
