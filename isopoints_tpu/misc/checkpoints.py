@@ -4,10 +4,17 @@ Parity: reference DSS/misc/checkpoints.py (`CheckpointIO`): a registry
 of named state pytrees, `save`, non-strict `load` returning leftover
 scalars (epoch_it/it/loss_val_best), timestamped best-model backups.
 
-Format: a single `.npz` per checkpoint — every pytree leaf stored
-under its keystr path (sharding-agnostic host arrays; reload is
-non-strict like the reference's parse_state_dict :99-121). Scalars
-ride along as 0-d arrays.
+Two backends:
+  * 'npz' (default): a single `.npz` per checkpoint — every pytree
+    leaf stored under its keystr path (host arrays; reload is
+    non-strict like the reference's parse_state_dict :99-121). Scalars
+    ride along as 0-d arrays. Single-host only: leaves must be fully
+    addressable.
+  * 'orbax': sharding-aware directory checkpoints via
+    orbax.checkpoint — each leaf is written shard-by-shard, so a
+    multi-host `jax.sharding.Mesh` run checkpoints without gathering
+    to one host (SURVEY §5 "orbax-style, sharding-aware"). Restore is
+    routed through the same non-strict template fill.
 """
 
 import datetime
@@ -52,8 +59,11 @@ def _restore_like(template, saved: Dict[str, np.ndarray], prefix: str):
 class CheckpointIO:
     """Named-module checkpoint registry (checkpoints.py:9-121)."""
 
-    def __init__(self, checkpoint_dir: str = "./chkpts", **registry):
+    def __init__(self, checkpoint_dir: str = "./chkpts",
+                 backend: str = "npz", **registry):
+        assert backend in ("npz", "orbax"), backend
         self.checkpoint_dir = checkpoint_dir
+        self.backend = backend
         self.registry: Dict[str, Any] = dict(registry)
         os.makedirs(checkpoint_dir, exist_ok=True)
 
@@ -61,6 +71,8 @@ class CheckpointIO:
         self.registry.update(kwargs)
 
     def save(self, filename: str, **scalars) -> str:
+        if self.backend == "orbax":
+            return self._save_orbax(filename, scalars)
         if not os.path.isabs(filename):
             filename = os.path.join(self.checkpoint_dir, filename)
         payload: Dict[str, np.ndarray] = {}
@@ -76,6 +88,8 @@ class CheckpointIO:
     def load(self, filename: str) -> Dict[str, Any]:
         """Load into the registered templates. Returns (a) updated
         registry entries in-place and (b) the leftover scalar dict."""
+        if self.backend == "orbax":
+            return self._load_orbax(filename)
         if not os.path.isabs(filename):
             filename = os.path.join(self.checkpoint_dir, filename)
         if not filename.endswith(".npz"):
@@ -92,6 +106,49 @@ class CheckpointIO:
         for name in self.registry:
             sub = {k[len(name) + 1:]: v for k, v in saved.items()
                    if k.startswith(name + ":")}
+            self.registry[name] = _restore_like(self.registry[name], sub, "")
+        return scalars
+
+    # -- orbax backend (sharding-aware) --------------------------------
+    def _ckpt_path(self, filename: str) -> str:
+        stem = filename[:-len(".npz")] if filename.endswith(".npz") \
+            else filename
+        if not os.path.isabs(stem):
+            stem = os.path.join(self.checkpoint_dir, stem)
+        return os.path.abspath(stem + ".orbax")
+
+    def _save_orbax(self, filename: str, scalars: Dict[str, Any]) -> str:
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_path(filename)
+        payload = dict(self.registry)
+        payload["__scalars__"] = {k: np.asarray(v) for k, v in
+                                  scalars.items()}
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, payload, force=True)
+        return path
+
+    def _load_orbax(self, filename: str) -> Dict[str, Any]:
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_path(filename)
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        get_logger().info("loading checkpoint from %s", path)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            saved = ckptr.restore(path)
+        scalars = {k: (v.item() if np.ndim(v) == 0 else v)
+                   for k, v in saved.pop("__scalars__", {}).items()}
+        for name in self.registry:
+            if name not in saved:
+                get_logger().warning(
+                    "checkpoint has no entry for %s — kept init", name)
+                continue
+            # reuse the non-strict template fill: flatten the restored
+            # subtree under the same keystr namespace
+            sub = {jax.tree_util.keystr(p): np.asarray(leaf)
+                   for p, leaf in
+                   jax.tree_util.tree_flatten_with_path(saved[name])[0]}
             self.registry[name] = _restore_like(self.registry[name], sub, "")
         return scalars
 

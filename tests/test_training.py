@@ -77,6 +77,32 @@ class TestCheckpointIO:
         np.testing.assert_allclose(np.asarray(io2.registry["model"]["extra"]),
                                    np.full(2, 7.0))
 
+    def test_orbax_backend_roundtrip(self, tmp_path):
+        """Sharding-aware backend: same registry/scalars/non-strict
+        semantics through orbax directory checkpoints, including a
+        device-sharded leaf (SURVEY §5 'orbax-style, sharding-aware')."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        sharded = jax.device_put(
+            jnp.arange(float(8 * len(jax.devices()))).reshape(-1, 1),
+            NamedSharding(mesh, P("data", None)))
+        params = {"w": jnp.arange(6.0).reshape(2, 3), "pts": sharded}
+        io = CheckpointIO(str(tmp_path), backend="orbax", model=params)
+        io.save("model", it=7, loss_val_best=0.25)
+
+        zeroed = jax.tree.map(jnp.zeros_like, params)
+        io2 = CheckpointIO(str(tmp_path), backend="orbax",
+                           model={**zeroed, "extra": jnp.full(2, 3.0)})
+        scalars = io2.load("model")
+        assert scalars["it"] == 7 and scalars["loss_val_best"] == 0.25
+        np.testing.assert_allclose(np.asarray(io2.registry["model"]["w"]),
+                                   np.arange(6.0).reshape(2, 3))
+        np.testing.assert_allclose(np.asarray(io2.registry["model"]["pts"]),
+                                   np.asarray(sharded))
+        np.testing.assert_allclose(
+            np.asarray(io2.registry["model"]["extra"]), np.full(2, 3.0))
+
 
 class TestSyntheticData:
     def test_generate_and_roundtrip(self, tmp_path):

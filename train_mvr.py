@@ -103,7 +103,12 @@ def main():
                  len(gt_points))
     state = trainer.init_state()
 
-    ckpt = CheckpointIO(out_dir, model=state.params,
+    # backend 'orbax' writes sharding-aware directory checkpoints (no
+    # host gather on a multi-host mesh); 'npz' is the single-host default
+    ckpt = CheckpointIO(out_dir,
+                        backend=cfg["training"].get("checkpoint_backend",
+                                                    "npz"),
+                        model=state.params,
                         opt=state.opt_state, points=state.points,
                         points_mask=state.points_mask)
     it0 = 0
