@@ -556,14 +556,20 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
         cam_g, dirs_g = g3(cam_g), g3(dirs_g)
         un_s_in = g2(st[4]) & sel_ok
         un_e_in = g2(st[5]) & sel_ok
+        # per-stage precision: a stage whose iterations end at or
+        # before `coarse_trace_iters` runs the coarse fn (compaction
+        # DURING the coarse phase), followed by a fine re-validation;
+        # later stages run fine
+        stage_coarse = p2_coarse or (
+            sdf_fn_coarse is not None and nxt <= cfg.coarse_trace_iters)
         run_c, _ = make_loop(cam_g, dirs_g, a, nxt,
-                             fn=sdf_fn_coarse if p2_coarse else None)
+                             fn=sdf_fn_coarse if stage_coarse else None)
         c_state = run_c((g2(st[0]), g2(st[1]), g2(st[2]), g2(st[3]),
                          un_s_in, un_e_in,
                          g2(st[6]), g2(st[7]), g2(st[8]), g2(st[9]),
                          jnp.int32(a)))
         st = c_state[:10]
-        if p2_coarse:
+        if stage_coarse:
             # fine re-validation of this stage's fronts BEFORE the next
             # compaction selects on them: no ray may stay converged (or
             # get dropped) on a coarse value. Same rule as the

@@ -639,3 +639,45 @@ class TestSamplerPresweep:
                         training=False)
         np.testing.assert_array_equal(np.asarray(dense.network_object_mask),
                                       np.asarray(pre.network_object_mask))
+
+
+class TestCoarsePhaseCompaction:
+    def test_identity_when_coarse_equals_fine(self):
+        """Stages ending inside the coarse phase run the coarse fn;
+        with coarse == fine the whole chain is the plain trace."""
+        f = torus_sdf()
+        cam, d, gt = _ray_fan(seed=41)
+        full = ray_trace(f, cam, d, gt, jax.random.key(1),
+                         RayTracingConfig(sphere_tracing_iters=20),
+                         training=False)
+        chain = ray_trace(f, cam, d, gt, jax.random.key(1),
+                          RayTracingConfig(sphere_tracing_iters=20,
+                                           coarse_trace_iters=8,
+                                           trace_compact_after=(4, 8, 12),
+                                           trace_compact_fraction=(0.99,) * 3,
+                                           sampler_coarse=True),
+                          training=False, sdf_fn_coarse=f)
+        np.testing.assert_array_equal(np.asarray(full.network_object_mask),
+                                      np.asarray(chain.network_object_mask))
+        np.testing.assert_allclose(np.asarray(full.dists),
+                                   np.asarray(chain.dists), atol=1e-4)
+
+    def test_noisy_coarse_stage_hits_stay_fine(self):
+        """A noisy coarse fn in coarse-phase stages: claimed hits still
+        satisfy |f_fine| small (per-stage fine re-validation)."""
+        f = sphere_sdf()
+
+        def f_noisy(x):
+            return f(x) + 1e-3 * jnp.sin(1e3 * jnp.sum(x, axis=-1))
+
+        cam, d, gt = _ray_fan(seed=42)
+        res = ray_trace(f, cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=24,
+                                         coarse_trace_iters=10,
+                                         trace_compact_after=(5, 10, 14),
+                                         trace_compact_fraction=(0.99,) * 3,
+                                         sampler_coarse=True),
+                        training=False, sdf_fn_coarse=f_noisy)
+        hits = np.asarray(res.network_object_mask)
+        assert hits.sum() > 0
+        assert np.abs(np.asarray(f(res.points))[hits]).max() < 1e-3

@@ -28,6 +28,11 @@ def main():
     parser.add_argument("--visualize-every", type=int, default=-1)
     parser.add_argument("--print-every", type=int, default=20)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile-at", type=int, default=-1,
+                        help="capture a jax.profiler trace for 5 "
+                             "iterations starting at this iteration "
+                             "(written to OUT_DIR/profile; view with "
+                             "tensorboard or xprof)")
     parser.add_argument("--n-devices", type=int, default=1,
                         help="shard rays over the first N jax devices")
     parser.add_argument("--eval-mesh-resolution", type=int, default=96)
@@ -139,12 +144,18 @@ def main():
     best_iou = -1.0
 
     for it in range(it0, args.max_iters):
+        if args.profile_at >= 0 and it == args.profile_at:
+            jax.profiler.start_trace(os.path.join(out_dir, "profile"))
         idx = rng.choice(n_views, size=batch_views, replace=False)
         img = jnp.asarray(images[idx])
         mask = jnp.asarray(masks[idx])
         camera = get_camera(idx)
         state, metrics = trainer.train_step(state, img, mask, camera)
         metrics_writer.log(it, metrics)
+        if args.profile_at >= 0 and it == args.profile_at + 4:
+            jax.profiler.stop_trace()
+            log.info("profiler trace written to %s",
+                     os.path.join(out_dir, "profile"))
 
         if it % args.print_every == 0:
             dt = time.time() - t_last
