@@ -30,15 +30,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e10
-_TQ = 512        # query rows per kernel instance
-_CHUNK = 2048    # database columns per in-kernel distance chunk
+
+
+def _sizes(k: int):
+    """(query rows per instance, db columns per chunk): the k-sweep
+    merge keeps ~4 live (TQ, 128+CHUNK) f32/i32 arrays on the Mosaic
+    stack — halve the tile for large k to stay inside the 16 MB scoped
+    VMEM limit (k=16 at TQ=512/CHUNK=2048 measured 17 MB: OOM)."""
+    return (256, 2048) if k > 8 else (512, 2048)
 
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _knn_kernel(k: int, p_pad: int, n_chunks: int, exclude_self: bool):
+def _knn_kernel(k: int, p_pad: int, n_chunks: int, exclude_self: bool,
+                chunk: int):
     """Grid = (n_query_tiles,). Refs:
     q (TQ, 3), psq (1, P), px/py/pz (1, P) split coordinates,
     outputs best_d (TQ, k), best_i (TQ, k) int32."""
@@ -60,17 +67,17 @@ def _knn_kernel(k: int, p_pad: int, n_chunks: int, exclude_self: bool):
 
         def chunk_step(c, carry):
             best_d, best_i = carry
-            lo = c * _CHUNK
-            px = px_ref[:, pl.dslice(lo, _CHUNK)]            # (1, C)
-            py = py_ref[:, pl.dslice(lo, _CHUNK)]
-            pz = pz_ref[:, pl.dslice(lo, _CHUNK)]
-            psq = psq_ref[:, pl.dslice(lo, _CHUNK)]
+            lo = c * chunk
+            px = px_ref[:, pl.dslice(lo, chunk)]             # (1, C)
+            py = py_ref[:, pl.dslice(lo, chunk)]
+            pz = pz_ref[:, pl.dslice(lo, chunk)]
+            psq = psq_ref[:, pl.dslice(lo, chunk)]
             # d = |q|² + |p|² − 2⟨q,p⟩, expanded per coordinate so the
             # contraction is 3 rank-1 FMAs on the VPU (a (TQ,3)@(3,C)
             # MXU dot wastes 125/128 of the systolic array)
             d = qsq + psq - 2.0 * (qx * px + qy * py + qz * pz)
             d = jnp.maximum(d, 0.0)
-            col = lo + jax.lax.broadcasted_iota(jnp.int32, (tq, _CHUNK), 1)
+            col = lo + jax.lax.broadcasted_iota(jnp.int32, (tq, chunk), 1)
             if exclude_self:
                 d = jnp.where(col == q_gidx, _BIG, d)
 
@@ -110,8 +117,9 @@ def _knn_flat(query: jax.Array, points: jax.Array, points_valid: jax.Array,
     """(N, 3) x (P, 3) -> ((N, k) sq dists, (N, k) indices)."""
     n, _ = query.shape
     p, _ = points.shape
-    n_pad = _round_up(max(n, 1), _TQ)
-    p_pad = _round_up(max(p, 1), _CHUNK)
+    tq, chunk = _sizes(k)
+    n_pad = _round_up(max(n, 1), tq)
+    p_pad = _round_up(max(p, 1), chunk)
     qp = jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(query)
     pp = jnp.zeros((p_pad, 3), jnp.float32).at[:p].set(points)
     # invalid/padded points: push distance beyond any real one
@@ -120,23 +128,24 @@ def _knn_flat(query: jax.Array, points: jax.Array, points_valid: jax.Array,
     psq = psq + jnp.where(
         jnp.zeros(p_pad, bool).at[:p].set(~points_valid), _BIG, 0.0)
 
-    kernel = _knn_kernel(k, p_pad, p_pad // _CHUNK, exclude_self)
+    kernel = _knn_kernel(k, p_pad, p_pad // chunk, exclude_self,
+                         chunk)
     row = lambda a: a.reshape(1, -1)
-    grid = (n_pad // _TQ,)
+    grid = (n_pad // tq,)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=pltpu.VMEM)
     d, idx = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((_TQ, 3), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((tq, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   full((1, p_pad)), full((1, p_pad)), full((1, p_pad)),
                   full((1, p_pad))],
         out_shape=(jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
                    jax.ShapeDtypeStruct((n_pad, k), jnp.int32)),
-        out_specs=(pl.BlockSpec((_TQ, k), lambda i: (i, 0),
+        out_specs=(pl.BlockSpec((tq, k), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((_TQ, k), lambda i: (i, 0),
+                   pl.BlockSpec((tq, k), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(qp, row(pp[:, 0]), row(pp[:, 1]), row(pp[:, 2]), row(psq))

@@ -31,6 +31,9 @@ def load_cloud(spec: str, n_noise: float, n_points: int, seed: int):
         sdf_fn = {"sphere": synthetic.sphere_sdf,
                   "torus": synthetic.torus_sdf,
                   "box": synthetic.box_sdf}[name]()
+        # n_points == 0 means "keep the full cloud" for .ply input; a
+        # synthetic cloud has no inherent size — default to 20k
+        n_points = n_points or 20000
         rng = np.random.RandomState(seed)
         init = jnp.asarray(rng.uniform(-0.8, 0.8, (1, n_points, 3)), jnp.float32)
         proj = project_points_newton(sdf_fn, init,
