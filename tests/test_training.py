@@ -461,3 +461,19 @@ class TestDTUMVRPath:
             state, jnp.asarray(item["img.rgb"])[None],
             jnp.asarray(item["img.mask"])[None], ds.camera([0], (24, 24)))
         assert np.isfinite(metrics["loss"])
+
+
+class TestDTUEntryLoadCloud:
+    def test_synthetic_default_n_points_nonempty(self):
+        """--n-points 0 means 'keep the full cloud' for .ply input; the
+        synthetic generator must still produce a real cloud (regression:
+        it generated zero points)."""
+        import sys
+        sys.path.insert(0, ".")
+        from train_dtu_points import load_cloud
+
+        pts, normals = load_cloud("synthetic:sphere", 0.01, 0, 0)
+        assert len(pts) >= 10000
+        r = np.linalg.norm(pts, axis=-1)
+        # noisy samples of the r=0.5 sphere
+        assert 0.4 < np.median(r) < 0.6
