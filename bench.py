@@ -33,7 +33,8 @@ TRACE_REP = 4         # traces per dispatch (lax.scan) — amortizes the
                       # steady-state throughput number (production
                       # training runs many steps per dispatch; measured
                       # per-trace time is printed either way)
-SPHERE_TRACING_ITERS = 10
+SPHERE_TRACING_ITERS = 11   # fused backstep: iteration budget shared
+                            # between forward steps and backsteps
 
 
 def _fit_sphere_field(field, params, radius=0.6, n_steps=300):
@@ -107,18 +108,23 @@ def main():
     # the eval cost — measured: MORE rays trace-converge than the
     # reference-path config, 136990 vs 130679 hits), and the dense
     # sampler at 0.23 capacity (54499 rays measured unconverged) with
-    # a coarse sweep + fine bracket re-validation. All LOSSLESS for
-    # this workload: overflow asserted zero below (tuned 2026-08 r2).
-    # The sampler presweep (Lipschitz certificate) is OFF: measured on
-    # this workload it flags 92% of post-trace sampler rays (they are
-    # exactly the near-surface grazers that defeat the certificate).
-    cfg = RayTracingConfig(sphere_tracing_iters=11,
+    # a coarse sweep + fine bracket re-validation. The coarse pick
+    # carries a 2e-3 hysteresis margin (sampler_coarse_margin): without
+    # it, bf16 noise mints false first crossings on grazing rays and
+    # the fine re-check rejects them — a silent 13% hit loss (136990
+    # vs the fine sampler's 158355; WITH the margin: 157810 = 99.7%
+    # recall at full speed). Overflow asserted zero below (tuned
+    # 2026-08 r2). The sampler presweep (Lipschitz certificate) is
+    # OFF: measured on this workload it flags 92% of post-trace
+    # sampler rays (exactly the grazers that defeat the certificate).
+    cfg = RayTracingConfig(sphere_tracing_iters=SPHERE_TRACING_ITERS,
                            sampler_chunk_rays=8192,
                            sampler_fraction=0.23,
                            trace_compact_after=(6, 9),
                            trace_compact_fraction=(0.63, 0.42),
                            coarse_trace_iters=6,
                            sampler_coarse=True,
+                           sampler_coarse_margin=2e-3,
                            fused_backstep=True)
 
     @jax.jit

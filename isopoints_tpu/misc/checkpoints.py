@@ -117,11 +117,34 @@ class CheckpointIO:
             stem = os.path.join(self.checkpoint_dir, stem)
         return os.path.abspath(stem + ".orbax")
 
+    @staticmethod
+    def _safe_key(keystr: str) -> str:
+        """keystr path -> orbax-friendly flat name ("['a'][0].b" ->
+        "a.0.b"). Registry trees are saved as FLAT {name: leaf} dicts:
+        restoring a raw pytree through orbax turns tuples/NamedTuples
+        (optax optimizer states!) into dicts whose keystrs no longer
+        match the template — the flat form keeps keys stable for the
+        non-strict template fill."""
+        out = keystr
+        for a, b in (("['", "."), ("']", ""), ("[", "."), ("]", ""),
+                     (".", ".")):
+            out = out.replace(a, b)
+        return out.lstrip(".") or "leaf"
+
+    def _flatten_safe(self, tree) -> Dict[str, Any]:
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        out = {self._safe_key(jax.tree_util.keystr(p)): leaf
+               for p, leaf in flat}
+        assert len(out) == len(flat), \
+            "checkpoint key collision after sanitization"
+        return out
+
     def _save_orbax(self, filename: str, scalars: Dict[str, Any]) -> str:
         import orbax.checkpoint as ocp
 
         path = self._ckpt_path(filename)
-        payload = dict(self.registry)
+        payload = {name: self._flatten_safe(tree)
+                   for name, tree in self.registry.items()}
         payload["__scalars__"] = {k: np.asarray(v) for k, v in
                                   scalars.items()}
         with ocp.PyTreeCheckpointer() as ckptr:
@@ -144,11 +167,17 @@ class CheckpointIO:
                 get_logger().warning(
                     "checkpoint has no entry for %s — kept init", name)
                 continue
-            # reuse the non-strict template fill: flatten the restored
-            # subtree under the same keystr namespace
-            sub = {jax.tree_util.keystr(p): np.asarray(leaf)
-                   for p, leaf in
-                   jax.tree_util.tree_flatten_with_path(saved[name])[0]}
+            # map the flat saved names back onto the template's keystr
+            # namespace, then reuse the non-strict template fill
+            flat_saved = saved[name]
+            tmpl_paths = jax.tree_util.tree_flatten_with_path(
+                self.registry[name])[0]
+            sub = {}
+            for p, _ in tmpl_paths:
+                ks = jax.tree_util.keystr(p)
+                sk = self._safe_key(ks)
+                if sk in flat_saved:
+                    sub[ks] = np.asarray(flat_saved[sk])
             self.registry[name] = _restore_like(self.registry[name], sub, "")
         return scalars
 

@@ -228,6 +228,17 @@ class RayTracingConfig:
     # the surface-hit decision rest on fine values. Identity when the
     # coarse fn equals the fine fn.
     sampler_coarse: bool = False
+    # hysteresis for the coarse first-sign-change pick: treat a step as
+    # "inside" only when f_coarse < −margin. WITHOUT it, coarse noise
+    # near zero creates false first crossings on grazing rays; the fine
+    # bracket re-check then rejects the ray outright and a TRUE crossing
+    # later on the ray is lost (measured on the bench workload: 136990
+    # vs 158355 fine-sampler hits at margin 0 — a silent 13% hit loss).
+    # Set to ~3-4x the coarse fn's absolute noise (bf16 fused MLP:
+    # ~1e-3); hits whose max penetration stays under the margin are
+    # still missed — measure against the fine sampler when tuning.
+    # Ignored when the sweep runs at fine precision.
+    sampler_coarse_margin: float = 0.0
     # fused backstep: the reference's line-search backstep re-evaluates
     # BOTH fronts full-width inside the same iteration — a second MLP
     # eval that serves only the ~5% of rays that crossed (measured on
@@ -266,6 +277,19 @@ class RayTracingConfig:
     sampler_presweep: int = 0
     sampler_presweep_lipschitz: float = 2.0
     sampler_dense_fraction: float = 0.5
+
+
+
+def _masked_scatter(dst: jax.Array, sel: jax.Array, src: jax.Array,
+                    sel_ok: jax.Array) -> jax.Array:
+    """Row-batched masked scatter: dst[b, sel[b, j]] = src[b, j] where
+    sel_ok[b, j]; disabled slots are dropped via an out-of-range index
+    (the shared compact-process-scatter idiom of this module)."""
+    n = dst.shape[1]
+    return jax.vmap(
+        lambda d, i, v, ok: d.at[jnp.where(ok, i, n)].set(
+            jnp.where(ok, v, jnp.zeros((), v.dtype)), mode="drop")
+    )(dst, sel, src, sel_ok)
 
 
 def _eval_sdf_chunked(sdf_fn: SDFFn, pts: jax.Array, chunk_rays: int
@@ -377,9 +401,12 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
 
         def body(state):
             """Reference semantics: advance + in-iteration line-search
-            backstep (second full-width eval per iteration)."""
+            backstep (second full-width eval per iteration). The fused
+            pending-backstep extras (bk, saved cur) pass through
+            UNTOUCHED so a mixed fused/reference stage chain cannot
+            clobber a pending backstep's step size."""
             acc_s, acc_e, sdf_s, sdf_e, un_s, un_e = state[:6]
-            bk_s, bk_e, _, _, it = state[6:]
+            bk_s, bk_e, keep_cur_s, keep_cur_e, it = state[6:]
             cur_s = jnp.where(un_s & (sdf_s > thr), sdf_s, 0.0)
             cur_e = jnp.where(un_e & (sdf_e > thr), sdf_e, 0.0)
             acc_s = acc_s + cur_s
@@ -407,7 +434,7 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
             un_s = un_s & (new_s > thr) & not_crossed
             un_e = un_e & (new_e > thr) & not_crossed
             return (acc_s, acc_e, new_s, new_e, un_s, un_e,
-                    bk_s, bk_e, cur_s, cur_e, it + 1)
+                    bk_s, bk_e, keep_cur_s, keep_cur_e, it + 1)
 
         def body_fused(state):
             """One eval per iteration: a crossing takes its backstep as
@@ -469,6 +496,16 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
     full_end = stages[0] if stages else cfg.sphere_tracing_iters
     coarse_end = (min(cfg.coarse_trace_iters, full_end)
                   if sdf_fn_coarse is not None else 0)
+    if (sdf_fn_coarse is not None and stages
+            and cfg.coarse_trace_iters > stages[0]):
+        # per-stage precision is whole-stage: a stage spanning the
+        # coarse->fine boundary would silently run its coarse
+        # iterations at fine width/cost
+        bounds_all = stages + (cfg.sphere_tracing_iters,)
+        assert cfg.coarse_trace_iters in bounds_all, (
+            "coarse_trace_iters must align with a compaction-stage "
+            "boundary when compaction starts inside the coarse phase",
+            cfg.coarse_trace_iters, bounds_all)
 
     _, eval_pair = make_loop(cam_loc, ray_dirs, 0, 0)
 
@@ -530,8 +567,6 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
     # into a ceil(frac·N) buffer at each stage boundary and march the
     # buffer to the next boundary. Buffers nest (stage k+1 compacts
     # stage k's buffer); scatters unwind in reverse at the end.
-    import math as _math
-
     b, n0 = un_s.shape
     p2_coarse = cfg.trace_compact_coarse and sdf_fn_coarse is not None
     boundaries = list(stages[1:]) + [cfg.sphere_tracing_iters]
@@ -543,7 +578,7 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
 
     for a, nxt, frac in zip(stages, boundaries, fracs):
         n_cur = st[4].shape[1]
-        cap = min(max(int(_math.ceil(n0 * frac)), 1), n_cur)
+        cap = min(max(int(math.ceil(n0 * frac)), 1), n_cur)
         active = st[4] | st[5]
         _, sel = jax.lax.top_k(active.astype(jnp.float32), cap)  # (B, cap)
         sel_ok = jnp.take_along_axis(active, sel, axis=1)
@@ -587,14 +622,9 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
     # unwind: scatter each stage's result back into its parent buffer
     c_acc_s, c_acc_e, c_un_s = st[0], st[1], st[4]
     for sel, sel_ok, p_acc_s, p_acc_e, p_un_s, n_cur in reversed(frames):
-        def scatter(dst, src):
-            return jax.vmap(
-                lambda d, i, v, ok: d.at[jnp.where(ok, i, n_cur)].set(
-                    jnp.where(ok, v, jnp.zeros((), v.dtype)), mode="drop")
-            )(dst, sel, src, sel_ok)
-        c_acc_s = scatter(p_acc_s, c_acc_s)
-        c_acc_e = scatter(p_acc_e, c_acc_e)
-        c_un_s = scatter(p_un_s, c_un_s)
+        c_acc_s = _masked_scatter(p_acc_s, sel, c_acc_s, sel_ok)
+        c_acc_e = _masked_scatter(p_acc_e, sel, c_acc_e, sel_ok)
+        c_un_s = _masked_scatter(p_un_s, sel, c_un_s, sel_ok)
     # overflow beyond capacity keeps its pre-stage state (still
     # unfinished -> handled by the dense sampler downstream); counted
     # per stage (top_k takes active rays first: active_count - cap)
@@ -630,9 +660,13 @@ def _dense_ray_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
     pts = cam_loc[..., None, :] + ts[..., None] * ray_dirs[..., None, :]
     sdf_val = _eval_sdf_chunked(fn_dense, pts, cfg.sampler_chunk_rays)  # (B,N,S)
 
-    # first sign change: sign(f_i)·countdown argmin (reference :1061-1063)
+    # first sign change: sign(f_i)·countdown argmin (reference :1061-1063).
+    # Under a coarse sweep, a hysteresis margin keeps near-zero noise
+    # from minting false first crossings (RayTracingConfig.
+    # sampler_coarse_margin) — the pick requires f < −margin.
+    margin = cfg.sampler_coarse_margin if use_coarse else 0.0
     countdown = jnp.arange(n, 0, -1, dtype=sdf_val.dtype)
-    costs = jnp.sign(sdf_val) * countdown
+    costs = jnp.sign(sdf_val + margin) * countdown
     idx = jnp.argmin(costs, axis=-1)                                # (B,N)
     has_sign_change = jnp.take_along_axis(costs, idx[..., None], axis=-1)[..., 0] < 0
 
@@ -685,7 +719,6 @@ def _presweep_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
     treated as non-surface and counted.
     """
     import dataclasses
-    import math as _math
 
     s1 = cfg.sampler_presweep
     use_coarse = cfg.sampler_coarse and sdf_fn_coarse is not None
@@ -708,7 +741,7 @@ def _presweep_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
     t_min1 = jnp.take_along_axis(ts1, idx1[..., None], axis=-1)[..., 0]
 
     b, nr = sampler_mask.shape
-    cap = min(max(int(_math.ceil(nr * cfg.sampler_dense_fraction)), 1), nr)
+    cap = min(max(int(math.ceil(nr * cfg.sampler_dense_fraction)), 1), nr)
     _, sel = jax.lax.top_k(needs_dense.astype(jnp.float32), cap)
     sel_ok = jnp.take_along_axis(needs_dense, sel, axis=1)
     g2 = lambda a: jnp.take_along_axis(a, sel, axis=1)
@@ -722,12 +755,8 @@ def _presweep_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
 
     t_out = t_min1                       # certified / overflow default
     obj_out = jnp.zeros_like(needs_dense)
-    scatter = lambda dst, src: jax.vmap(
-        lambda d, i, v, ok: d.at[jnp.where(ok, i, nr)].set(
-            jnp.where(ok, v, jnp.zeros((), v.dtype)), mode="drop")
-    )(dst, sel, src, sel_ok)
-    t_out = scatter(t_out, d_t)
-    obj_out = scatter(obj_out, d_obj)
+    t_out = _masked_scatter(t_out, sel, d_t, sel_ok)
+    obj_out = _masked_scatter(obj_out, sel, d_obj, sel_ok)
     obj_out = sampler_mask & obj_out
 
     n_flagged = jnp.sum(needs_dense.astype(jnp.int32), axis=1)
@@ -808,12 +837,9 @@ def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
             sdf_fn, k1, g3(cam_loc), g3(ray_dirs), g2(object_mask),
             g2(acc_s), g2(acc_e), sel_ok, cfg, training,
             sdf_fn_coarse=sdf_fn_coarse)
-        scatter = lambda dst, src: jax.vmap(
-            lambda d, i, v, ok: d.at[jnp.where(ok, i, n)].set(
-                jnp.where(ok, v, jnp.zeros((), v.dtype)), mode="drop")
-        )(dst, sel, src, sel_ok)
-        dists = scatter(dists, s_t)
-        network_object_mask = scatter(network_object_mask, s_obj)
+        dists = _masked_scatter(dists, sel, s_t, sel_ok)
+        network_object_mask = _masked_scatter(network_object_mask, sel,
+                                              s_obj, sel_ok)
         # rays beyond capacity: treated as non-surface (rare overflow)
         overflow = sampler_mask & ~jax.vmap(
             lambda i, ok: jnp.zeros((n,), bool).at[

@@ -78,8 +78,11 @@ def knn_points(
     p = points.shape[1]
 
     if method == "auto":
+        # upper bound: the pallas kernel holds 4 (1, P) f32 rows + the
+        # merge buffers in VMEM (~16·P bytes) — cap well inside the
+        # 16 MB scoped limit and fall back to the dense path above it
         method = ("pallas" if jax.default_backend() == "tpu"
-                  and p >= 8192 and k <= 16 else "dense")
+                  and 8192 <= p <= 400_000 and k <= 16 else "dense")
     if method == "pallas":
         from isopoints_tpu.ops.pallas_knn import knn_points_pallas
         return knn_points_pallas(query, points, query_mask, points_mask,

@@ -103,6 +103,36 @@ class TestCheckpointIO:
         np.testing.assert_allclose(
             np.asarray(io2.registry["model"]["extra"]), np.full(2, 3.0))
 
+    def test_orbax_restores_optax_state(self, tmp_path):
+        """Regression: optax optimizer states are tuples of NamedTuples;
+        restoring them through orbax without canonicalization turned
+        them into dicts that silently failed the template fill (Adam
+        resumed with zero moments)."""
+        import optax
+
+        params = {"w": jnp.ones(3)}
+        opt = optax.adam(1e-3)
+        ost = opt.init(params)
+        # take one step so mu/nu are non-zero
+        g = {"w": jnp.full(3, 0.1)}
+        up, ost = opt.update(g, ost)
+        io = CheckpointIO(str(tmp_path), backend="orbax",
+                          model=params, opt=ost)
+        io.save("m", it=1)
+
+        io2 = CheckpointIO(str(tmp_path), backend="orbax",
+                           model=jax.tree.map(jnp.zeros_like, params),
+                           opt=jax.tree.map(jnp.zeros_like, ost))
+        io2.load("m")
+        restored = io2.registry["opt"]
+        ref_leaves = jax.tree.leaves(ost)
+        got_leaves = jax.tree.leaves(restored)
+        assert len(ref_leaves) == len(got_leaves)
+        for a, b in zip(ref_leaves, got_leaves):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a))
+        # the moments must be the real (non-zero) values
+        assert float(np.abs(np.asarray(got_leaves[1])).max()) > 0
+
 
 class TestSyntheticData:
     def test_generate_and_roundtrip(self, tmp_path):

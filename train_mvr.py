@@ -143,17 +143,20 @@ def main():
     t_last = t_start
     best_iou = -1.0
 
+    profiling = False
     for it in range(it0, args.max_iters):
         if args.profile_at >= 0 and it == args.profile_at:
             jax.profiler.start_trace(os.path.join(out_dir, "profile"))
+            profiling = True
         idx = rng.choice(n_views, size=batch_views, replace=False)
         img = jnp.asarray(images[idx])
         mask = jnp.asarray(masks[idx])
         camera = get_camera(idx)
         state, metrics = trainer.train_step(state, img, mask, camera)
         metrics_writer.log(it, metrics)
-        if args.profile_at >= 0 and it == args.profile_at + 4:
+        if profiling and it >= args.profile_at + 4:
             jax.profiler.stop_trace()
+            profiling = False
             log.info("profiler trace written to %s",
                      os.path.join(out_dir, "profile"))
 
@@ -187,10 +190,14 @@ def main():
             save_ply(os.path.join(out_dir, f"{it:06d}_mesh.ply"), verts,
                      faces=faces)
         if args.exit_after > 0 and time.time() - t_start > args.exit_after:
+            if profiling:
+                jax.profiler.stop_trace()
             save("model.npz")
             log.info("exit-after reached; checkpointed at it=%d", state.it)
             sys.exit(3)
 
+    if profiling:
+        jax.profiler.stop_trace()
     save("model.npz")
     log.info("done: %d iters in %.1fs", args.max_iters - it0,
              time.time() - t_start)
