@@ -106,16 +106,23 @@ class Generator:
 
         chunk = self.cfg.rays_per_chunk
         n_total = s * s
-        rt_cfg = RayTracingConfig(
-            object_bounding_sphere=self.model.cfg.object_bounding_sphere,
-            sphere_tracing_iters=max(self.model.cfg.proj_max_iters, 20))
+        # inherit the model's tuned trace schedule (compaction stages,
+        # coarse precision, fused backstep, sampler margin — see
+        # ImplicitConfig.raytrace) with a rendering-quality iteration
+        # floor; the coarse bf16 kernel rides along when enabled
+        import dataclasses
+        rt_cfg = dataclasses.replace(
+            self.model.raytrace_cfg,
+            sphere_tracing_iters=max(
+                self.model.raytrace_cfg.sphere_tracing_iters, 20))
+        f_coarse = self.model.trace_sdf_fn_coarse(params)
 
         @jax.jit
         def render_chunk(ndc, k):
             _, dirs = camera.ndc_to_rays(ndc)
             res = ray_trace(f, jnp.broadcast_to(cam_pos, dirs.shape), dirs,
                             jnp.ones(dirs.shape[:-1], bool), k, rt_cfg,
-                            training=False)
+                            training=False, sdf_fn_coarse=f_coarse)
             rgb = self.estimate_colors(params, res.points, camera, lights)
             alpha = res.network_object_mask.astype(jnp.float32)
             rgb = jnp.where(res.network_object_mask[..., None],

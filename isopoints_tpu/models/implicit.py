@@ -82,6 +82,13 @@ class ImplicitConfig:
     # (RayTracingConfig.coarse_trace_iters). Requires use_fused_mlp;
     # 0 = off.
     coarse_trace_iters: int = 0
+    # extra RayTracingConfig field overrides (sampler_fraction,
+    # trace_compact_after/fraction, fused_backstep,
+    # sampler_coarse(_margin), sampler_chunk_rays, ...) applied LAST —
+    # they win over the named fields above. YAML-friendly: lists are
+    # coerced to tuples. See RayTracingConfig for semantics and the
+    # bench.py schedule for a tuned example.
+    raytrace: Optional[dict] = None
 
 
 class ImplicitModel:
@@ -105,6 +112,12 @@ class ImplicitModel:
             sdf_threshold=cfg.proj_tolerance,
             sphere_tracing_iters=cfg.proj_max_iters,
             coarse_trace_iters=cfg.coarse_trace_iters)
+        if cfg.raytrace:
+            import dataclasses
+            coerced = {k: tuple(v) if isinstance(v, list) else v
+                       for k, v in dict(cfg.raytrace).items()}
+            self.raytrace_cfg = dataclasses.replace(self.raytrace_cfg,
+                                                    **coerced)
         self.proj_cfg = ProjectionConfig(
             proj_max_iters=cfg.proj_max_iters,
             proj_tolerance=cfg.proj_tolerance)

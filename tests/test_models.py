@@ -310,3 +310,27 @@ class TestOccupancyModel:
         assert len(verts) > 50
         r = np.linalg.norm(verts, axis=-1)
         np.testing.assert_allclose(r.mean(), 0.5, atol=0.05)
+
+
+class TestRaytraceOverrides:
+    def test_config_dict_flows_into_raytrace_cfg(self):
+        """ImplicitConfig.raytrace overrides reach RayTracingConfig
+        (lists coerced to tuples for the compaction stages)."""
+        from isopoints_tpu.models.fields import SDFField
+        from isopoints_tpu.models.implicit import ImplicitConfig, ImplicitModel
+
+        m = ImplicitModel(
+            SDFField(hidden_size=32, n_layers=2, num_frequencies=0),
+            cfg=ImplicitConfig(raytrace={
+                "sampler_fraction": 0.25,
+                "trace_compact_after": [4, 8],
+                "trace_compact_fraction": [0.6, 0.4],
+                "fused_backstep": True,
+                "sampler_coarse_margin": 2e-3,
+            }))
+        rc = m.raytrace_cfg
+        assert rc.sampler_fraction == 0.25
+        assert rc.trace_compact_after == (4, 8)
+        assert rc.trace_compact_fraction == (0.6, 0.4)
+        assert rc.fused_backstep is True
+        assert rc.sampler_coarse_margin == 2e-3
