@@ -738,3 +738,36 @@ class TestSamplerCoarseMargin:
         h_m = np.asarray(marg.network_object_mask)
         assert not (h_m & ~h_f).any()          # no spurious hits
         assert (h_m == h_f).mean() >= 0.99     # ≤1% sub-margin drops
+
+
+class TestFusedWithDistinctCoarse:
+    def test_pending_backstep_survives_coarse_stage(self):
+        """fused_backstep with a DISTINCT noisy coarse fn and a stage
+        chain: the reference-body coarse stages must pass the fused
+        pending-backstep state through untouched (regression: they
+        clobbered the saved step size), and all claimed hits must lie
+        on the true surface."""
+        f = sphere_sdf()
+
+        def f_noisy(x):
+            return f(x) + 1e-3 * jnp.sin(1e3 * jnp.sum(x, axis=-1))
+
+        cam, d, gt = _ray_fan(n=512, seed=61)
+        res = ray_trace(f, cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=24,
+                                         coarse_trace_iters=8,
+                                         trace_compact_after=(8, 14),
+                                         trace_compact_fraction=(0.99,
+                                                                 0.99),
+                                         trace_compact_coarse=True,
+                                         fused_backstep=True,
+                                         sampler_coarse=True,
+                                         sampler_coarse_margin=4e-3),
+                        training=False, sdf_fn_coarse=f_noisy)
+        hits = np.asarray(res.network_object_mask)
+        fine = ray_trace(f, cam, d, gt, jax.random.key(1),
+                         RayTracingConfig(sphere_tracing_iters=24),
+                         training=False)
+        h_fine = int(np.asarray(fine.network_object_mask).sum())
+        assert hits.sum() >= 0.95 * h_fine, (int(hits.sum()), h_fine)
+        assert np.abs(np.asarray(f(res.points))[hits]).max() < 1e-3
