@@ -80,9 +80,12 @@ def create_model(cfg: AttrDict):
 
 
 def create_trainer(model, cfg: AttrDict, seed: int = 0,
-                   n_devices: int = 1) -> MVRTrainer:
+                   n_devices: int = 1,
+                   views_sharded: bool = False) -> MVRTrainer:
     """(config.py:269-299). `n_devices` > 1 shards rays over a device
-    mesh (green-field multi-chip mandate, SURVEY.md §2.3)."""
+    mesh (0 = all global devices); `views_sharded` enables the
+    multi-host input mode (green-field multi-chip mandate,
+    SURVEY.md §2.3, parallel/data.py)."""
     from isopoints_tpu.parallel.sharding import make_mesh
 
     tkw = dict(cfg.get("training", {}))
@@ -93,7 +96,7 @@ def create_trainer(model, cfg: AttrDict, seed: int = 0,
                             if k in TrainerConfig.__dataclass_fields__})
     scheduler = TrainerScheduler(**sched_kw) if sched_kw else None
     return MVRTrainer(model, tcfg, scheduler=scheduler, seed=seed,
-                      mesh=make_mesh(n_devices))
+                      mesh=make_mesh(n_devices), views_sharded=views_sharded)
 
 
 def create_dataset(cfg: AttrDict, mode: str = "train"):

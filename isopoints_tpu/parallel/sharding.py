@@ -39,9 +39,13 @@ from isopoints_tpu.ops.images import sample_random_pixels
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
-    """1-D device mesh over the data (ray) axis."""
+    """1-D device mesh over the data (ray) axis.
+
+    `n_devices`: None or 0 = ALL global devices (multi-host: every
+    device of every process, jax.devices() after
+    jax.distributed.initialize()); N > 0 = the first N."""
     devices = jax.devices()
-    if n_devices is not None:
+    if n_devices:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

@@ -170,7 +170,7 @@ class MVRTrainer:
     def __init__(self, model: CombinedModel, cfg: TrainerConfig = TrainerConfig(),
                  scheduler: Optional[TrainerScheduler] = None,
                  optimizer: Optional[optax.GradientTransformation] = None,
-                 seed: int = 0, mesh=None):
+                 seed: int = 0, mesh=None, views_sharded: bool = False):
         from isopoints_tpu.parallel.sharding import make_mesh
 
         self.model = model
@@ -178,6 +178,10 @@ class MVRTrainer:
         # THE step runs over a device mesh; 1 device = the single-chip
         # case (same code path — parallel/sharding.make_train_step)
         self.mesh = mesh if mesh is not None else make_mesh(1)
+        # multi-host input mode: train_step receives batch-SHARDED
+        # (img, mask, camera) built by parallel.data.form_global_batch;
+        # the step all_gathers them over ICI (parallel/data.py design)
+        self.views_sharded = views_sharded
         self.scheduler = scheduler or TrainerScheduler(
             init_n_rays=cfg.n_rays,
             init_lambda_rgb=cfg.lambda_rgb,
@@ -212,14 +216,15 @@ class MVRTrainer:
         # tap_grad gates at TRACE time: include the debug flag in the
         # cache key so toggling debugging re-traces with/without taps
         cache_key = (project, n_rays, image_size, get_debugging_mode(),
-                     self.mesh.devices.size)
+                     self.mesh.devices.size, self.views_sharded)
         if cache_key in self._step_cache:
             return self._step_cache[cache_key]
 
         step = make_train_step(self.model, self.optimizer, self.mesh,
                                project=project, n_rays=n_rays,
                                image_size=image_size,
-                               n_eikonal_points=self.cfg.n_eikonal_points)
+                               n_eikonal_points=self.cfg.n_eikonal_points,
+                               views_sharded=self.views_sharded)
         self._step_cache[cache_key] = step
         return step
 

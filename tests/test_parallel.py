@@ -262,3 +262,29 @@ class TestTrainerOnMesh:
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
             s1.params, s8.params)
+
+
+class TestTrainerViewsSharded:
+    def test_trainer_step_with_sharded_views(self, setup):
+        """MVRTrainer(views_sharded=True) accepts a batch-sharded view
+        batch built by form_global_batch (the train_mvr --multihost
+        path) and produces finite metrics."""
+        from isopoints_tpu.parallel.data import form_global_batch
+
+        model, params, camera, img, mask_img = setup
+        mesh = make_mesh(8)
+        trainer = MVRTrainer(model, TrainerConfig(n_rays=64, warm_up_iters=0,
+                                                  n_eikonal_points=64),
+                             mesh=mesh, views_sharded=True)
+        state = trainer.init_state(jax.random.key(0))
+        # 8 views (one per device): tile the single test view
+        R, T = look_at_view_transform([2.0] * 8, [10.0] * 8, [0.0] * 8)
+        cam8 = PerspectiveCamera.create(R=R, T=T, focal_length=2.0)
+        batch = form_global_batch(
+            {"img": jnp.tile(img, (8, 1, 1, 1)),
+             "mask": jnp.tile(mask_img, (8, 1, 1, 1)),
+             "camera": cam8}, mesh)
+        state, metrics = trainer.train_step(state, batch["img"],
+                                            batch["mask"], batch["camera"])
+        assert np.isfinite(metrics["loss"])
+        assert state.it == 1

@@ -34,11 +34,24 @@ def main():
                              "(written to OUT_DIR/profile; view with "
                              "tensorboard or xprof)")
     parser.add_argument("--n-devices", type=int, default=1,
-                        help="shard rays over the first N jax devices")
+                        help="shard rays over the first N jax devices "
+                             "(0 = all devices)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host slice: jax.distributed."
+                             "initialize() (coordinator auto-detected "
+                             "on TPU pods), mesh over ALL global "
+                             "devices, per-host view loading over DCN "
+                             "(parallel/data.py). Launch one process "
+                             "per host.")
     parser.add_argument("--eval-mesh-resolution", type=int, default=96)
     args = parser.parse_args()
 
     import jax
+
+    if args.multihost:
+        # must run before any other jax call creates the backend
+        jax.distributed.initialize()
+        args.n_devices = 0  # the global mesh spans every device
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -100,8 +113,10 @@ def main():
     log.info("dataset: %d views of %s", n_views, images.shape[1:3])
 
     model = create_model(cfg)
+    multihost = args.multihost and jax.process_count() > 1
     trainer = create_trainer(model, cfg, seed=args.seed,
-                             n_devices=args.n_devices)
+                             n_devices=args.n_devices,
+                             views_sharded=multihost)
     if trainer.cfg.saliency_sampling and gt_points is not None:
         trainer.set_reference_cloud(gt_points)
         log.info("saliency reference cloud: FPS of %d GT points",
@@ -138,7 +153,20 @@ def main():
 
     metrics_writer = MetricsWriter(out_dir)
     rng = np.random.RandomState(args.seed)
-    batch_views = 2
+    # multi-host: the global view batch is sharded over the batch axis
+    # of the device mesh, so it must be a multiple of the device count;
+    # each host loads only its process-local slice from disk
+    # (parallel/data.py). Single-host keeps the reference's 2 views.
+    n_dev = trainer.mesh.devices.size
+    batch_views = n_dev if multihost else 2
+    if multihost:
+        from isopoints_tpu.parallel.data import (
+            form_global_batch,
+            local_view_indices,
+        )
+        log.info("multihost: process %d/%d, %d global devices, "
+                 "%d views/step", jax.process_index(), jax.process_count(),
+                 n_dev, batch_views)
     t_start = time.time()
     t_last = t_start
     best_iou = -1.0
@@ -148,10 +176,20 @@ def main():
         if args.profile_at >= 0 and it == args.profile_at:
             jax.profiler.start_trace(os.path.join(out_dir, "profile"))
             profiling = True
-        idx = rng.choice(n_views, size=batch_views, replace=False)
-        img = jnp.asarray(images[idx])
-        mask = jnp.asarray(masks[idx])
-        camera = get_camera(idx)
+        idx = rng.choice(n_views, size=batch_views,
+                         replace=batch_views > n_views)
+        if multihost:
+            # every host draws the SAME global batch (same seed), loads
+            # only its slice, and contributes the process-local shard
+            lidx = local_view_indices(idx)
+            local = {"img": images[lidx], "mask": masks[lidx],
+                     "camera": get_camera(lidx)}
+            gb = form_global_batch(local, trainer.mesh)
+            img, mask, camera = gb["img"], gb["mask"], gb["camera"]
+        else:
+            img = jnp.asarray(images[idx])
+            mask = jnp.asarray(masks[idx])
+            camera = get_camera(idx)
         state, metrics = trainer.train_step(state, img, mask, camera)
         metrics_writer.log(it, metrics)
         if profiling and it >= args.profile_at + 4:
