@@ -33,7 +33,7 @@ TRACE_REP = 4         # traces per dispatch (lax.scan) — amortizes the
                       # steady-state throughput number (production
                       # training runs many steps per dispatch; measured
                       # per-trace time is printed either way)
-SPHERE_TRACING_ITERS = 11   # fused backstep: iteration budget shared
+SPHERE_TRACING_ITERS = 12   # fused backstep: iteration budget shared
                             # between forward steps and backsteps
 
 
@@ -99,32 +99,34 @@ def main():
     cam_b = jnp.broadcast_to(cam, dirs.shape)
     gt = jnp.ones(dirs.shape[:-1], dtype=bool)
     # schedule tuned on the measured active-ray decay of the fitted
-    # field: coarse bf16 for the first 6 iterations, fine boundary
-    # re-validation (which resurrects noise-stopped fronts — active
-    # rises to ~0.61·N at iter 6), then a two-stage straggler
-    # compaction chain (0.63 at 6, 0.42 at 9) running the FUSED
-    # backstep (one eval per fine iteration; 11 total iterations give
-    # crossing rays the reference's effective forward budget at half
-    # the eval cost — measured: MORE rays trace-converge than the
-    # reference-path config, 136990 vs 130679 hits), and the dense
-    # sampler at 0.23 capacity (54499 rays measured unconverged) with
-    # a coarse sweep + fine bracket re-validation. The coarse pick
-    # carries a 2e-3 hysteresis margin (sampler_coarse_margin): without
-    # it, bf16 noise mints false first crossings on grazing rays and
-    # the fine re-check rejects them — a silent 13% hit loss (136990
-    # vs the fine sampler's 158355; WITH the margin: 157810 = 99.7%
-    # recall at full speed). Overflow asserted zero below (tuned
-    # 2026-08 r2). The sampler presweep (Lipschitz certificate) is
-    # OFF: measured on this workload it flags 92% of post-trace
-    # sampler rays (exactly the grazers that defeat the certificate).
+    # field (2026-08 r2), every stage ONE eval per iteration:
+    #   * coarse bf16 for 6 iterations with STALL-ON-CROSS (crossing
+    #     fronts revert to their last outside position — no backstep
+    #     evals on bf16 noise; the fine phase finishes them),
+    #   * fine boundary re-validation (resurrects noise-stopped and
+    #     stalled fronts — active rises to ~0.70·N at iter 6),
+    #   * a two-stage compaction chain (0.70 at 6, 0.45 at 9) running
+    #     the FUSED backstep at fine precision,
+    #   * the dense sampler at 0.25 capacity (52994 rays measured
+    #     unconverged; widths quantize to sampler_chunk_rays) with a
+    #     coarse sweep + fine bracket re-validation. The coarse pick
+    #     carries a 2e-3 hysteresis margin (sampler_coarse_margin):
+    #     without it, bf16 noise mints false first crossings on grazing
+    #     rays and the fine re-check rejects them — a silent 13% hit
+    #     loss. Hit parity: 157576 vs the all-fine sampler's 158355
+    #     (99.5% recall); overflow asserted zero below.
+    # The sampler presweep (Lipschitz certificate) is OFF: measured on
+    # this workload it flags 92% of post-trace sampler rays (exactly
+    # the grazers that defeat the certificate).
     cfg = RayTracingConfig(sphere_tracing_iters=SPHERE_TRACING_ITERS,
                            sampler_chunk_rays=8192,
-                           sampler_fraction=0.23,
+                           sampler_fraction=0.25,
                            trace_compact_after=(6, 9),
-                           trace_compact_fraction=(0.63, 0.42),
+                           trace_compact_fraction=(0.70, 0.45),
                            coarse_trace_iters=6,
                            sampler_coarse=True,
                            sampler_coarse_margin=2e-3,
+                           coarse_stall_on_cross=True,
                            fused_backstep=True)
 
     @jax.jit
@@ -176,7 +178,8 @@ def main():
     fr = cfg.trace_compact_fraction
     fr = (fr,) * len(stages) if isinstance(fr, float) else fr
     full_end = stages[0] if stages else cfg.sphere_tracing_iters
-    evals_per_ray = 2.0 * (full_end + 1) * lsi       # full-width coarse
+    lsi_coarse = 1 if cfg.coarse_stall_on_cross else lsi
+    evals_per_ray = 2.0 * (full_end + 1) * lsi_coarse  # full-width coarse
     bounds = list(stages[1:]) + [cfg.sphere_tracing_iters]
     for a, nxt, f in zip(stages, bounds, fr):
         evals_per_ray += 2.0 * (nxt - a) * lsi_fine * f  # compacted stages

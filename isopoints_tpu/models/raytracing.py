@@ -254,6 +254,16 @@ class RayTracingConfig:
     # iteration (measured 42-60k crossings/iter on the bench workload),
     # so coarse loops always keep the in-iteration backstep.
     fused_backstep: bool = False
+    # coarse stall-on-cross: in COARSE loops, a front that crosses
+    # (f < 0) reverts to its last outside position (no re-eval needed —
+    # its value is already in state) and stalls until the fine boundary
+    # re-validation resurrects it. One eval per coarse iteration
+    # instead of 1 + line_step_iters, and the fine phase — which has
+    # exact values and the cheap fused backstep — does the near-surface
+    # work the coarse backstep would have wasted bf16 evals on.
+    # Crossing rays forfeit their remaining coarse iterations; they are
+    # by definition already at the surface. Fine loops are unaffected.
+    coarse_stall_on_cross: bool = False
     # run the phase-2 compacted straggler loop with the coarse fn too,
     # then re-validate its fronts once at fine precision: fronts the
     # coarse noise stopped early are simply marked unfinished (no more
@@ -470,11 +480,39 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
             return (acc_s, acc_e, new_s, new_e, un_s, un_e,
                     bk_s, bk_e, cur_s, cur_e, it + 1)
 
+        def body_stall(state):
+            """One eval per COARSE iteration: a crossing front reverts
+            to its last outside position (whose value is already in
+            state) and stalls until the fine boundary re-validation
+            resurrects it (RayTracingConfig.coarse_stall_on_cross)."""
+            (acc_s, acc_e, sdf_s, sdf_e, un_s, un_e,
+             bk_s, bk_e, cur_s, cur_e, it) = state
+            fwd_s = jnp.where(un_s & (sdf_s > thr), sdf_s, 0.0)
+            fwd_e = jnp.where(un_e & (sdf_e > thr), sdf_e, 0.0)
+            acc_s = acc_s + fwd_s
+            acc_e = acc_e - fwd_e
+            new_s, new_e = eval_pair(acc_s, acc_e)
+            crossed_s = un_s & (new_s < 0)
+            crossed_e = un_e & (new_e < 0)
+            acc_s = jnp.where(crossed_s, acc_s - fwd_s, acc_s)
+            acc_e = jnp.where(crossed_e, acc_e + fwd_e, acc_e)
+            new_s = jnp.where(crossed_s, sdf_s, new_s)
+            new_e = jnp.where(crossed_e, sdf_e, new_e)
+            not_crossed = acc_s < acc_e
+            un_s = un_s & ~crossed_s & (new_s > thr) & not_crossed
+            un_e = un_e & ~crossed_e & (new_e > thr) & not_crossed
+            return (acc_s, acc_e, new_s, new_e, un_s, un_e,
+                    bk_s, bk_e, cur_s, cur_e, it + 1)
+
         def run(state):
-            use_fused = cfg.fused_backstep and not is_coarse
+            if is_coarse and cfg.coarse_stall_on_cross:
+                chosen = body_stall
+            elif cfg.fused_backstep and not is_coarse:
+                chosen = body_fused
+            else:
+                chosen = body
             return jax.lax.while_loop(
-                cond, body_fused if use_fused else body,
-                state[:10] + (jnp.int32(start_it),))
+                cond, chosen, state[:10] + (jnp.int32(start_it),))
 
         return run, eval_pair
 

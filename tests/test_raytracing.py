@@ -771,3 +771,54 @@ class TestFusedWithDistinctCoarse:
         h_fine = int(np.asarray(fine.network_object_mask).sum())
         assert hits.sum() >= 0.95 * h_fine, (int(hits.sum()), h_fine)
         assert np.abs(np.asarray(f(res.points))[hits]).max() < 1e-3
+
+
+class TestCoarseStallOnCross:
+    def test_recall_matches_reference_path(self):
+        """Stall-on-cross with a noisy coarse fn: crossing fronts park
+        at their last outside position and the fine phase/sampler
+        finish them — hit recall must match the backstepping coarse
+        path, and all hits lie on the true surface."""
+        f = sphere_sdf()
+
+        def f_noisy(x):
+            return f(x) + 1e-3 * jnp.sin(1e3 * jnp.sum(x, axis=-1))
+
+        cam, d, gt = _ray_fan(n=512, seed=71)
+        common = dict(sphere_tracing_iters=16, coarse_trace_iters=6,
+                      sampler_coarse=True, sampler_coarse_margin=4e-3)
+        ref = ray_trace(f, cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(**common),
+                        training=False, sdf_fn_coarse=f_noisy)
+        stall = ray_trace(f, cam, d, gt, jax.random.key(1),
+                          RayTracingConfig(coarse_stall_on_cross=True,
+                                           **common),
+                          training=False, sdf_fn_coarse=f_noisy)
+        h_ref = int(np.asarray(ref.network_object_mask).sum())
+        h_st = int(np.asarray(stall.network_object_mask).sum())
+        assert h_ref > 0
+        assert h_st >= 0.97 * h_ref, (h_st, h_ref)
+        hits = np.asarray(stall.network_object_mask)
+        assert np.abs(np.asarray(f(stall.points))[hits]).max() < 1e-3
+
+    def test_stalled_fronts_stay_outside(self):
+        """No front may end the coarse phase inside the surface (the
+        revert keeps acc at a position with f > 0), so the sampler
+        interval always contains the true crossing."""
+        f = torus_sdf()
+
+        def f_noisy(x):
+            return f(x) + 1e-3 * jnp.sin(1e3 * jnp.sum(x, axis=-1))
+
+        cam, d, gt = _ray_fan(n=256, seed=72)
+        res = ray_trace(f, cam, d, gt, jax.random.key(1),
+                        RayTracingConfig(sphere_tracing_iters=14,
+                                         coarse_trace_iters=6,
+                                         coarse_stall_on_cross=True,
+                                         fused_backstep=True,
+                                         sampler_coarse=True,
+                                         sampler_coarse_margin=4e-3),
+                        training=False, sdf_fn_coarse=f_noisy)
+        hits = np.asarray(res.network_object_mask)
+        assert hits.sum() > 0
+        assert np.abs(np.asarray(f(res.points))[hits]).max() < 1e-3
