@@ -127,16 +127,29 @@ class Generator:
             alpha = res.network_object_mask.astype(jnp.float32)
             rgb = jnp.where(res.network_object_mask[..., None],
                             jnp.clip(rgb, 0.0, 1.0), 1.0)
-            return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+            rgba = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+            return rgba, res.trace_overflow + res.sampler_overflow
 
         out = np.ones((b, n_total, 4), np.float32)
         pad = (-n_total) % chunk
         ndc_pad = jnp.pad(ndc_full, ((0, 0), (0, pad), (0, 0)))
+        overflow = 0
         for i in range(0, n_total + pad, chunk):
             key, k = jax.random.split(key)
-            res = render_chunk(ndc_pad[:, i:i + chunk], k)
+            res, ovf = render_chunk(ndc_pad[:, i:i + chunk], k)
+            overflow += int(ovf)
             hi = min(i + chunk, n_total)
             out[:, i:hi] = np.asarray(res)[:, :hi - i]
+        if overflow:
+            # the inherited training capacities were tuned on a random-
+            # pixel ray mix; a silhouette-heavy full-image chunk can
+            # exceed them, and overflowed rays render as background
+            from isopoints_tpu.logger import get_logger
+            get_logger().warning(
+                "raytrace_images: %d rays overflowed the trace/sampler "
+                "capacities and rendered as background — raise "
+                "raytrace sampler_fraction / compaction fractions for "
+                "rendering-quality output", overflow)
         return out.reshape(b, s, s, 4)
 
     # -- contours ---------------------------------------------------------

@@ -157,8 +157,10 @@ class ImplicitModel:
         """1-pass bf16 fused kernel for the coarse phase of the trace
         precision schedule, or None when unavailable/disabled (then the
         tracer runs fine-only). Same stop-gradient contract as
-        `trace_sdf_fn`."""
-        if not (self.cfg.use_fused_mlp and self.cfg.coarse_trace_iters > 0):
+        `trace_sdf_fn`. Gates on the EFFECTIVE raytrace config so a
+        `raytrace: {coarse_trace_iters: N}` override works too."""
+        if not (self.cfg.use_fused_mlp
+                and self.raytrace_cfg.coarse_trace_iters > 0):
             return None
         from isopoints_tpu.ops.pallas_mlp import make_fused_sdf_fn
         frozen = jax.lax.stop_gradient(params["decoder"])

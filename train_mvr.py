@@ -159,11 +159,17 @@ def main():
     # (parallel/data.py). Single-host keeps the reference's 2 views.
     n_dev = trainer.mesh.devices.size
     batch_views = n_dev if multihost else 2
+    # on a multi-host pod only process 0 writes checkpoints, metrics,
+    # and meshes (a shared out_dir would otherwise see concurrent
+    # writes of the same files from every host)
+    is_main = jax.process_index() == 0
     if multihost:
         from isopoints_tpu.parallel.data import (
             form_global_batch,
             local_view_indices,
+            sample_global_view_batch,
         )
+        view_key = jax.random.key(args.seed)
         log.info("multihost: process %d/%d, %d global devices, "
                  "%d views/step", jax.process_index(), jax.process_count(),
                  n_dev, batch_views)
@@ -176,22 +182,27 @@ def main():
         if args.profile_at >= 0 and it == args.profile_at:
             jax.profiler.start_trace(os.path.join(out_dir, "profile"))
             profiling = True
-        idx = rng.choice(n_views, size=batch_views,
-                         replace=batch_views > n_views)
         if multihost:
-            # every host draws the SAME global batch (same seed), loads
+            # every host draws the SAME global batch (the shared-seed
+            # sampler from parallel.data — never host-local rng, which
+            # any host-dependent draw would silently desync), loads
             # only its slice, and contributes the process-local shard
+            idx = sample_global_view_batch(
+                jax.random.fold_in(view_key, it), n_views, batch_views)
             lidx = local_view_indices(idx)
             local = {"img": images[lidx], "mask": masks[lidx],
                      "camera": get_camera(lidx)}
             gb = form_global_batch(local, trainer.mesh)
             img, mask, camera = gb["img"], gb["mask"], gb["camera"]
         else:
+            idx = rng.choice(n_views, size=batch_views,
+                             replace=batch_views > n_views)
             img = jnp.asarray(images[idx])
             mask = jnp.asarray(masks[idx])
             camera = get_camera(idx)
         state, metrics = trainer.train_step(state, img, mask, camera)
-        metrics_writer.log(it, metrics)
+        if is_main:
+            metrics_writer.log(it, metrics)
         if profiling and it >= args.profile_at + 4:
             jax.profiler.stop_trace()
             profiling = False
@@ -203,13 +214,22 @@ def main():
             t_last = time.time()
             log.info("it %05d %s (%.1fs)", it,
                      " ".join(f"{k}={v:.4g}" for k, v in metrics.items()), dt)
-        if args.checkpoint_every > 0 and it > 0 and it % args.checkpoint_every == 0:
+        if (is_main and args.checkpoint_every > 0 and it > 0
+                and it % args.checkpoint_every == 0):
             save("model.npz")
-        if args.validate_every > 0 and it > 0 and it % args.validate_every == 0:
-            ev = trainer.eval_step(state, img, mask, camera)
+        if (is_main and args.validate_every > 0 and it > 0
+                and it % args.validate_every == 0):
+            # evaluation is host-local: under --multihost the training
+            # batch is sharded across hosts (not host-fetchable), so
+            # eval always renders host-locally loaded views
+            e_idx = np.arange(min(2, n_views))
+            e_img = jnp.asarray(images[e_idx])
+            e_mask = jnp.asarray(masks[e_idx])
+            e_cam = get_camera(e_idx)
+            ev = trainer.eval_step(state, e_img, e_mask, e_cam)
             # full-image render + mesh chamfer (reference eval_step /
             # evaluate_mesh, DSS trainer.py:239-301)
-            ev.update(trainer.eval_step_full(state, img, mask, camera))
+            ev.update(trainer.eval_step_full(state, e_img, e_mask, e_cam))
             if gt_points is not None:
                 ev.update(trainer.evaluate_mesh_vs_gt(
                     state, gt_points, gt_normals,
@@ -220,7 +240,8 @@ def main():
             if ev["iou_full"] > best_iou:
                 best_iou = ev["iou_full"]
                 save("model_best.npz", loss_val_best=ev["iou_full"])
-        if args.visualize_every > 0 and it > 0 and it % args.visualize_every == 0:
+        if (is_main and args.visualize_every > 0 and it > 0
+                and it % args.visualize_every == 0):
             from isopoints_tpu.utils.meshing import extract_mesh
             from isopoints_tpu.utils.io import save_ply
             f = model.sdf_fn(state.params)
@@ -230,13 +251,15 @@ def main():
         if args.exit_after > 0 and time.time() - t_start > args.exit_after:
             if profiling:
                 jax.profiler.stop_trace()
-            save("model.npz")
+            if is_main:
+                save("model.npz")
             log.info("exit-after reached; checkpointed at it=%d", state.it)
             sys.exit(3)
 
     if profiling:
         jax.profiler.stop_trace()
-    save("model.npz")
+    if is_main:
+        save("model.npz")
     log.info("done: %d iters in %.1fs", args.max_iters - it0,
              time.time() - t_start)
 
