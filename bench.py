@@ -107,8 +107,9 @@ def main():
     #     stalled fronts — active rises to ~0.70·N at iter 6),
     #   * a two-stage compaction chain (0.70 at 6, 0.45 at 9) running
     #     the FUSED backstep at fine precision,
-    #   * the dense sampler at 0.25 capacity (52994 rays measured
-    #     unconverged; widths quantize to sampler_chunk_rays) with a
+    #   * the dense sampler at 57344 = 7×8192 slots (the eval width
+    #     quantizes to sampler_chunk_rays; 52994 rays measured
+    #     unconverged, 8% headroom, overflow asserted zero) with a
     #     coarse sweep + fine bracket re-validation. The coarse pick
     #     carries a 2e-3 hysteresis margin (sampler_coarse_margin):
     #     without it, bf16 noise mints false first crossings on grazing
@@ -120,7 +121,7 @@ def main():
     # the grazers that defeat the certificate).
     cfg = RayTracingConfig(sphere_tracing_iters=SPHERE_TRACING_ITERS,
                            sampler_chunk_rays=8192,
-                           sampler_fraction=0.25,
+                           sampler_fraction=0.21875,   # 7 chunks of 8192
                            trace_compact_after=(6, 9),
                            trace_compact_fraction=(0.70, 0.45),
                            coarse_trace_iters=6,
