@@ -290,6 +290,26 @@ class RayTracingConfig:
 
 
 
+def _compact_mask(mask: jax.Array, cap: int) -> Tuple[jax.Array, jax.Array]:
+    """(B, N) bool -> (sel (B, cap) indices, sel_ok (B, cap) bool):
+    the first `cap` True positions per row, in index order.
+
+    Exactly `top_k(mask.astype(f32), cap)` — equal scores tie-break by
+    first occurrence, and overflow drops the highest-index actives —
+    but via cumsum-rank + one scatter instead of a full N-element sort
+    (top_k over 262k rays costs ~3 ms each on a v5e; three compactions
+    run per trace)."""
+    b, n = mask.shape
+    ranks = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1       # (B, N)
+    put = jnp.where(mask & (ranks < cap), ranks, cap)
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    sel = jax.vmap(lambda p, i: jnp.zeros((cap,), jnp.int32).at[p].set(
+        i, mode="drop"))(put, iota)
+    n_active = jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True)
+    sel_ok = jnp.arange(cap)[None, :] < n_active
+    return sel, sel_ok
+
+
 def _masked_scatter(dst: jax.Array, sel: jax.Array, src: jax.Array,
                     sel_ok: jax.Array) -> jax.Array:
     """Row-batched masked scatter: dst[b, sel[b, j]] = src[b, j] where
@@ -618,8 +638,7 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
         n_cur = st[4].shape[1]
         cap = min(max(int(math.ceil(n0 * frac)), 1), n_cur)
         active = st[4] | st[5]
-        _, sel = jax.lax.top_k(active.astype(jnp.float32), cap)  # (B, cap)
-        sel_ok = jnp.take_along_axis(active, sel, axis=1)
+        sel, sel_ok = _compact_mask(active, cap)                 # (B, cap)
         n_active = jnp.sum(active.astype(jnp.int32), axis=1)
         overflow = overflow + jnp.sum(jnp.maximum(n_active - cap, 0))
         g2 = lambda x: jnp.take_along_axis(x, sel, axis=1)
@@ -780,8 +799,7 @@ def _presweep_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
 
     b, nr = sampler_mask.shape
     cap = min(max(int(math.ceil(nr * cfg.sampler_dense_fraction)), 1), nr)
-    _, sel = jax.lax.top_k(needs_dense.astype(jnp.float32), cap)
-    sel_ok = jnp.take_along_axis(needs_dense, sel, axis=1)
+    sel, sel_ok = _compact_mask(needs_dense, cap)
     g2 = lambda a: jnp.take_along_axis(a, sel, axis=1)
     g3 = lambda a: jnp.take_along_axis(a, sel[..., None], axis=1)
 
@@ -866,9 +884,7 @@ def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
         # those, scatter back (bounded dense-sampler work)
         b, n = sampler_mask.shape
         cap = max(int(math.ceil(n * cfg.sampler_fraction)), 1)
-        score = sampler_mask.astype(jnp.float32)
-        _, sel = jax.lax.top_k(score, cap)                      # (B, cap)
-        sel_ok = jnp.take_along_axis(sampler_mask, sel, axis=1)
+        sel, sel_ok = _compact_mask(sampler_mask, cap)          # (B, cap)
         g2 = lambda a: jnp.take_along_axis(a, sel, axis=1)
         g3 = lambda a: jnp.take_along_axis(a, sel[..., None], axis=1)
         s_pts, s_t, s_obj, ps_ovf = _dense_ray_sampler(
