@@ -33,7 +33,7 @@ TRACE_REP = 4         # traces per dispatch (lax.scan) — amortizes the
                       # steady-state throughput number (production
                       # training runs many steps per dispatch; measured
                       # per-trace time is printed either way)
-SPHERE_TRACING_ITERS = 12   # fused backstep: iteration budget shared
+SPHERE_TRACING_ITERS = 13   # fused backstep: iteration budget shared
                             # between forward steps and backsteps
 
 
@@ -106,22 +106,24 @@ def main():
     #   * fine boundary re-validation (resurrects noise-stopped and
     #     stalled fronts — active rises to ~0.70·N at iter 6),
     #   * a two-stage compaction chain (0.70 at 6, 0.45 at 9) running
-    #     the FUSED backstep at fine precision,
-    #   * the dense sampler at 57344 = 7×8192 slots (the eval width
-    #     quantizes to sampler_chunk_rays; 52994 rays measured
-    #     unconverged, 8% headroom, overflow asserted zero) with a
+    #     the FUSED backstep at fine precision (13 iterations: the
+    #     extra fused iteration costs 0.45 evals but drops the
+    #     unconverged count below the next sampler chunk boundary),
+    #   * the dense sampler at 49152 = 6×8192 slots (the eval width
+    #     quantizes to sampler_chunk_rays; 46954 rays measured
+    #     unconverged, 4.5% headroom, overflow asserted zero) with a
     #     coarse sweep + fine bracket re-validation. The coarse pick
     #     carries a 2e-3 hysteresis margin (sampler_coarse_margin):
     #     without it, bf16 noise mints false first crossings on grazing
     #     rays and the fine re-check rejects them — a silent 13% hit
-    #     loss. Hit parity: 157576 vs the all-fine sampler's 158355
-    #     (99.5% recall); overflow asserted zero below.
+    #     loss. Hit parity: 157788 vs the all-fine sampler's 158355
+    #     (99.6% recall); overflow asserted zero below.
     # The sampler presweep (Lipschitz certificate) is OFF: measured on
     # this workload it flags 92% of post-trace sampler rays (exactly
     # the grazers that defeat the certificate).
     cfg = RayTracingConfig(sphere_tracing_iters=SPHERE_TRACING_ITERS,
                            sampler_chunk_rays=8192,
-                           sampler_fraction=0.21875,   # 7 chunks of 8192
+                           sampler_fraction=0.1875,   # 6 chunks of 8192
                            trace_compact_after=(6, 9),
                            trace_compact_fraction=(0.70, 0.45),
                            coarse_trace_iters=6,
