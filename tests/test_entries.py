@@ -37,3 +37,60 @@ class TestEvaluateEntry:
         # a 48³ marching-tet sphere vs 2k GT samples: chamfer_p is a
         # squared distance — grid-resolution scale
         assert float(rows[0]["chamfer_p"]) < 5e-3, rows[0]
+
+
+class TestScriptEntries:
+    def test_evaluate_pointclouds(self, tmp_path):
+        from isopoints_tpu.utils.io import save_ply
+
+        rng = np.random.RandomState(0)
+        d = rng.normal(size=(4000, 3)).astype(np.float32)
+        gt = 0.5 * d / np.linalg.norm(d, axis=-1, keepdims=True)
+        pred = gt + rng.normal(scale=1e-3, size=gt.shape).astype(np.float32)
+        save_ply(str(tmp_path / "gt.ply"), gt)
+        save_ply(str(tmp_path / "pred.ply"), pred)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "evaluate_pointclouds.py"),
+             str(tmp_path / "pred.ply"), str(tmp_path / "gt.ply")],
+            capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "chamfer" in (r.stdout + r.stderr).lower()
+
+    def test_create_mvr_data_roundtrip(self, tmp_path):
+        """Analytic-SDF dataset generation loads back through
+        MVRDataset with working cameras."""
+        out = str(tmp_path / "data")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "create_mvr_data.py"),
+             "sphere", out, "--n-views", "3", "--image-size", "32",
+             "--n-gt-points", "500"],
+            capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        from isopoints_tpu.data.dataset import MVRDataset
+
+        ds = MVRDataset(out)
+        assert len(ds) == 3
+        item = ds[0]
+        assert item["img.rgb"].shape == (32, 32, 3)
+        # the sphere silhouette covers a plausible fraction
+        cov = float(item["img.mask"].mean())
+        assert 0.05 < cov < 0.6
+
+    def test_measure_scaling_json_lines(self):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "measure_scaling.py"),
+             "--cpu-devices", "2", "--rays-per-device", "64",
+             "--iters", "2", "--mesh-sizes", "1", "2"],
+            capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-2000:]
+        import json
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        assert len(lines) == 2
+        recs = [json.loads(l) for l in lines]
+        assert recs[0]["n_devices"] == 1 and recs[1]["n_devices"] == 2
+        assert all(np.isfinite(rec["total_rays_per_s"]) and
+                   rec["total_rays_per_s"] > 0 for rec in recs)
+        assert all(np.isfinite(rec["weak_scaling_efficiency"]) for rec in recs)
