@@ -67,6 +67,21 @@ class TestPallasKNN:
         np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
         assert int(b.idx[0, 0, 0]) == 1
 
+    def test_pruned_multichunk_clustered(self):
+        """Clustered cloud spanning several 2048-point chunks: the
+        Morton sort + bbox prune + ring visit order must still return
+        the exact dense answer (a wrongly skipped chunk would drop
+        true neighbors)."""
+        key = jax.random.key(42)
+        centers = jax.random.uniform(jax.random.key(41), (6, 1, 3),
+                                     minval=-3.0, maxval=3.0)
+        pts = (centers + 0.2 * jax.random.normal(
+            key, (6, 1500, 3))).reshape(1, -1, 3)          # 3 chunks
+        q = pts[:, ::7] + 0.05
+        a = knn_points(q, pts, k=6, method="dense")
+        b = knn_points_pallas(q, pts, k=6)
+        _assert_same_neighbors(a, b)
+
     def test_jit_and_grad_safety(self):
         """jit-compatible; masked-out rows produce no NaNs."""
         q, pts, qmask, pmask = _clouds(b=1, n=96, p=500, seed=11)
