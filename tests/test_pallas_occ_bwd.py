@@ -61,6 +61,18 @@ class TestPallasOccBackward:
         np.testing.assert_allclose(np.asarray(b) / scale,
                                    np.asarray(a) / scale, atol=1e-6)
 
+    def test_column_strips_match_xla(self):
+        """S=256 > strip width 128: exercises the overlapping-strip
+        path (nb=3) incl. strip selection at the image borders."""
+        pts, radii, vis, grad = _case(n=400, s_img=256, seed=8,
+                                      edge_cluster=True)
+        s = RasterizationSettings(image_size=256)
+        a = _occ_backward_one(pts, radii, vis, grad, s)
+        b = occ_backward_pallas_one(pts, radii, vis, grad, s)
+        scale = np.abs(np.asarray(a)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=1e-6)
+
     def test_invisible_points_get_zero(self):
         pts, radii, _, grad = _case(n=100, s_img=64, seed=6)
         vis = jnp.zeros((100,), bool)
