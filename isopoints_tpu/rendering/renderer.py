@@ -54,15 +54,22 @@ def render_pointcloud(cloud: PointCloud, camera: PerspectiveCamera,
                              params.cutoff, params.mask, settings)
 
     # weights = exp(-0.5 q) * scaler (renderer.py:53-57); per-point info
-    # is detached, so color gradients reach features only (parity)
+    # is detached, so color gradients reach features only (parity).
+    # scaler and rgb are fetched in ONE per-fragment gather — separate
+    # (B,S,S,K) gathers cost ~9 ms each at 512px (XLA does not merge
+    # same-index gathers)
     valid = frags.idx >= 0
     safe = jnp.where(valid, frags.idx, 0)
-    frag_scaler = jax.vmap(lambda s, i: s[i])(params.scaler, safe)
+    table = jnp.concatenate([params.scaler[..., None],
+                             features[..., :3]], axis=-1)    # (B, P, 4)
+    gathered = jax.vmap(lambda t, i: t[i])(table, safe)      # (B,S,S,K,4)
+    frag_scaler = gathered[..., 0]
     weights = jnp.where(valid, jnp.exp(-0.5 * frags.qvalue) * frag_scaler, 0.0)
 
     composite = norm_weighted_sum_composite if normalize_weights \
         else weighted_sum_composite
-    rgb = composite(frags.idx, weights, features[..., :3])
+    rgb = composite(frags.idx, weights, features[..., :3],
+                    gathered_features=gathered[..., 1:])
     rgba = jnp.concatenate([rgb, frags.occupancy[..., None]], axis=-1)
 
     visibility = visible_point_mask(frags.idx, cloud.capacity)
