@@ -34,7 +34,6 @@ from isopoints_tpu.rendering.rasterizer import (
     RasterizationSettings,
     compute_splat_params,
     rasterize_splats,
-    visible_point_mask,
 )
 
 
@@ -86,8 +85,7 @@ class CombinedModel(ImplicitModel):
                                   camera, self.raster_settings)
         frags = rasterize_splats(sp.pts_ndc, sp.ellipse, sp.radii, sp.cutoff,
                                  sp.mask, self.raster_settings)
-        vis = visible_point_mask(frags.idx, points.shape[1])
-        return jnp.any(vis, axis=0, keepdims=True)         # (1, P)
+        return jnp.any(frags.visibility, axis=0, keepdims=True)  # (1, P)
 
     def get_visible_iso_points(self, params, points, mask,
                                camera: PerspectiveCamera, key: jax.Array,

@@ -96,6 +96,11 @@ class Fragments(NamedTuple):
     zbuf: jax.Array       # (B, S, S, K) view depth, -1 empty
     qvalue: jax.Array     # (B, S, S, K) ellipse quadratic value
     occupancy: jax.Array  # (B, S, S) 0/1
+    # (B, P) points that produced fragments — computed at candidate
+    # level inside the rasterizer (a (S²K,)→(P,) bool scatter on the
+    # untiled idx map costs ~9 ms at 512px; the tile-level
+    # compare+reduce and 262k scatter cost ~3 ms)
+    visibility: jax.Array
 
 
 class SplatParams(NamedTuple):
@@ -337,8 +342,12 @@ def _rasterize_one(pts, ellipse, radii, cutoff, valid,
         return tr(idxk), tr(zk), tr(qk), occ.transpose(1, 0, 2).reshape(T, nt * T)
 
     idx, zbuf, qv, occ = jax.lax.map(row_fn, jnp.arange(nt))
-    return (idx.reshape(S, S, K), zbuf.reshape(S, S, K),
-            qv.reshape(S, S, K), occ.reshape(S, S))
+    idx = idx.reshape(S, S, K)
+    safe = jnp.where(idx >= 0, idx, pts.shape[0])
+    vis = jnp.zeros((pts.shape[0],), bool).at[safe.reshape(-1)].set(
+        True, mode="drop")
+    return (idx, zbuf.reshape(S, S, K), qv.reshape(S, S, K),
+            occ.reshape(S, S), vis)
 
 
 def _rasterize_one_pallas(pts, ellipse, radii, cutoff, valid, xs, half,
@@ -378,11 +387,30 @@ def _rasterize_one_pallas(pts, ellipse, radii, cutoff, valid, xs, half,
         depth_merging_threshold=s.depth_merging_threshold,
         interpret=jax.default_backend() != "tpu")
 
+    # visibility at candidate level: used(tile, m) = candidate m's
+    # global id appears in the tile's fragment map. A chunked
+    # compare+any (fuses into one reduce) plus a 262k-element scatter
+    # beats the (S²K,)→(P,) bool scatter on the untiled map ~3x
+    p_cap = pts.shape[0]
+    n_tiles = nt * nt
+    cb = 64 if n_tiles % 64 == 0 else 1
+    idx_flat = idx.reshape(n_tiles // cb, cb, T * T * K)
+    cand_cb = cand_idx.reshape(n_tiles // cb, cb, M)
+
+    def used_chunk(args):
+        it, ci = args                        # (cb, T²K), (cb, M)
+        eq = (it[:, :, None] == ci[:, None, :]) & (it[:, :, None] >= 0)
+        return jnp.any(eq, axis=1)           # (cb, M)
+
+    used = jax.lax.map(used_chunk, (idx_flat, cand_cb)).reshape(-1)
+    flat_id = jnp.where(used, cand_idx.reshape(-1), p_cap)
+    vis = jnp.zeros((p_cap,), bool).at[flat_id].set(True, mode="drop")
+
     def untile(a, ch):
         return a.reshape(nt, nt, T, T, ch).transpose(0, 2, 1, 3, 4) \
             .reshape(S, S, ch)
     return (untile(idx, K), untile(zbuf, K), untile(qv, K),
-            untile(occ[..., None], 1)[..., 0])
+            untile(occ[..., None], 1)[..., 0], vis)
 
 
 def _occ_backward_one(pts, radii, visible, grad_occ,
@@ -479,8 +507,9 @@ def _occ_backward_one(pts, radii, visible, grad_occ,
 
 def _rasterize_fwd_impl(pts_ndc, ellipse, radii, cutoff, mask, settings):
     f = jax.vmap(partial(_rasterize_one, settings=settings))
-    idx, zbuf, qv, occ = f(pts_ndc, ellipse, radii, cutoff, mask)
-    return Fragments(idx=idx, zbuf=zbuf, qvalue=qv, occupancy=occ)
+    idx, zbuf, qv, occ, vis = f(pts_ndc, ellipse, radii, cutoff, mask)
+    return Fragments(idx=idx, zbuf=zbuf, qvalue=qv, occupancy=occ,
+                     visibility=vis)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5,))

@@ -21,7 +21,6 @@ from isopoints_tpu.rendering.rasterizer import (
     RasterizationSettings,
     compute_splat_params,
     rasterize_splats,
-    visible_point_mask,
 )
 
 
@@ -72,5 +71,5 @@ def render_pointcloud(cloud: PointCloud, camera: PerspectiveCamera,
                     gathered_features=gathered[..., 1:])
     rgba = jnp.concatenate([rgb, frags.occupancy[..., None]], axis=-1)
 
-    visibility = visible_point_mask(frags.idx, cloud.capacity)
-    return RenderOutput(rgba=rgba, fragments=frags, visibility=visibility)
+    return RenderOutput(rgba=rgba, fragments=frags,
+                        visibility=frags.visibility)
