@@ -311,6 +311,17 @@ def main():
           f"({n_splat} splats @ {img_size}px, {dt3*1e3:.2f} ms/frame)",
           file=sys.stderr)
 
+    # honesty gate: the strip/tile capacities must be lossless on this
+    # workload (nonzero means back splats were silently culled)
+    sp = compute_splat_params(sphere_pts, sphere_nrm, smask, cam512, rset)
+    frags = rasterize_splats(sp.pts_ndc, sp.ellipse, sp.radii,
+                             sp.cutoff, sp.mask, rset)
+    splat_ovf = int(jnp.sum(frags.tile_overflow))
+    print(f"splat_tile_overflow: {splat_ovf} dropped candidates "
+          f"(strip cap {rset.max_points_per_strip}, tile cap "
+          f"{rset.max_points_per_tile})", file=sys.stderr)
+    assert splat_ovf == 0, (splat_ovf, "splat capacities overflowed")
+
     print(json.dumps({
         "metric": "sphere_traced_rays_per_s_per_chip",
         "value": round(rays_per_s, 1),

@@ -101,6 +101,10 @@ class Fragments(NamedTuple):
     # untiled idx map costs ~9 ms at 512px; the tile-level
     # compare+reduce and 262k scatter cost ~3 ms)
     visibility: jax.Array
+    # (B,) int32 candidates dropped by the static strip/tile capacities
+    # (max_points_per_strip / max_points_per_tile) — nonzero means back
+    # splats were silently culled; bench.py asserts zero
+    tile_overflow: jax.Array
 
 
 class SplatParams(NamedTuple):
@@ -251,27 +255,34 @@ def _tile_candidates(px, py, z, rx, ry, valid, cy, cx, half, m,
                      strip_cap: int = 0):
     """Select the `m` front-most splats whose bbox touches the tile.
 
-    Returns (cand_idx (nt, m), cand_ok (nt, m)) for one row of tiles.
-    cy is scalar (tile-row center), cx (nt,) per-tile centers.
-    With `strip_cap` > 0 and P > strip_cap, a strip-level top_k first
-    narrows to the front-most splats overlapping the whole tile row.
-    """
+    Returns (cand_idx (nt, m), cand_ok (nt, m), overflow ()) for one
+    row of tiles. cy is scalar (tile-row center), cx (nt,) per-tile
+    centers. With `strip_cap` > 0 and P > strip_cap, a strip-level
+    top_k first narrows to the front-most splats overlapping the whole
+    tile row. `overflow` counts candidates DROPPED by the static
+    strip/tile capacities — a nonzero count means back splats were
+    silently culled (usually harmless occlusion, but it must be
+    observable; bench.py asserts zero)."""
     if strip_cap and px.shape[0] > strip_cap:
         strip = (jnp.abs(py - cy) <= (ry + half)) & valid     # (P,)
+        strip_ovf = jnp.maximum(
+            jnp.sum(strip.astype(jnp.int32)) - strip_cap, 0)
         sscore = jnp.where(strip, -z, -_BIG)
         neg_sz, sidx = jax.lax.top_k(sscore, strip_cap)       # (R,)
         s_ok = neg_sz > -_BIG * 0.5
-        cand_l, ok_l = _tile_candidates(
+        cand_l, ok_l, tile_ovf = _tile_candidates(
             px[sidx], py[sidx], z[sidx], rx[sidx], ry[sidx],
             s_ok, cy, cx, half, m)
-        return sidx[cand_l], ok_l
+        return sidx[cand_l], ok_l, strip_ovf + tile_ovf
     overlap_y = jnp.abs(py - cy) <= (ry + half)               # (P,)
     overlap = overlap_y[None, :] & \
         (jnp.abs(px[None, :] - cx[:, None]) <= (rx[None, :] + half))  # (nt, P)
     ok = overlap & valid[None, :]
+    ovf = jnp.sum(jnp.maximum(
+        jnp.sum(ok.astype(jnp.int32), axis=1) - m, 0))
     score = jnp.where(ok, -z[None, :], -_BIG)
     neg_z, cand_idx = jax.lax.top_k(score, m)                 # (nt, m)
-    return cand_idx, neg_z > -_BIG * 0.5
+    return cand_idx, neg_z > -_BIG * 0.5, ovf
 
 
 def _rasterize_one(pts, ellipse, radii, cutoff, valid,
@@ -301,7 +312,7 @@ def _rasterize_one(pts, ellipse, radii, cutoff, valid,
         rows = ti * T + jnp.arange(T)
         ys = _pixel_ndc(rows, S)                              # (T,)
         cy = 0.5 * (ys[0] + ys[-1])
-        cand_idx, cand_ok = _tile_candidates(
+        cand_idx, cand_ok, ovf = _tile_candidates(
             px, py, z, rx, ry, valid, cy, tile_centers_x, half, M,
             strip_cap=s.max_points_per_strip)                  # (nt, M)
 
@@ -339,15 +350,16 @@ def _rasterize_one(pts, ellipse, radii, cutoff, valid,
 
         # (nt, T, T, K) -> (T rows, nt*T cols, K)
         tr = lambda v: v.transpose(1, 0, 2, 3).reshape(T, nt * T, K)
-        return tr(idxk), tr(zk), tr(qk), occ.transpose(1, 0, 2).reshape(T, nt * T)
+        return (tr(idxk), tr(zk), tr(qk),
+                occ.transpose(1, 0, 2).reshape(T, nt * T), ovf)
 
-    idx, zbuf, qv, occ = jax.lax.map(row_fn, jnp.arange(nt))
+    idx, zbuf, qv, occ, ovf = jax.lax.map(row_fn, jnp.arange(nt))
     idx = idx.reshape(S, S, K)
     safe = jnp.where(idx >= 0, idx, pts.shape[0])
     vis = jnp.zeros((pts.shape[0],), bool).at[safe.reshape(-1)].set(
         True, mode="drop")
     return (idx, zbuf.reshape(S, S, K), qv.reshape(S, S, K),
-            occ.reshape(S, S), vis)
+            occ.reshape(S, S), vis, ovf.sum())
 
 
 def _rasterize_one_pallas(pts, ellipse, radii, cutoff, valid, xs, half,
@@ -369,7 +381,8 @@ def _rasterize_one_pallas(pts, ellipse, radii, cutoff, valid, xs, half,
                                 tile_centers_x, half, M,
                                 strip_cap=s.max_points_per_strip)
 
-    cand_idx, cand_ok = jax.lax.map(row_candidates, jnp.arange(nt))
+    cand_idx, cand_ok, ovf = jax.lax.map(row_candidates, jnp.arange(nt))
+    overflow = ovf.sum()
     cand_idx = cand_idx.reshape(nt * nt, M)
     cand_ok = cand_ok.reshape(nt * nt, M)
 
@@ -410,7 +423,7 @@ def _rasterize_one_pallas(pts, ellipse, radii, cutoff, valid, xs, half,
         return a.reshape(nt, nt, T, T, ch).transpose(0, 2, 1, 3, 4) \
             .reshape(S, S, ch)
     return (untile(idx, K), untile(zbuf, K), untile(qv, K),
-            untile(occ[..., None], 1)[..., 0], vis)
+            untile(occ[..., None], 1)[..., 0], vis, overflow)
 
 
 def _occ_backward_one(pts, radii, visible, grad_occ,
@@ -507,9 +520,9 @@ def _occ_backward_one(pts, radii, visible, grad_occ,
 
 def _rasterize_fwd_impl(pts_ndc, ellipse, radii, cutoff, mask, settings):
     f = jax.vmap(partial(_rasterize_one, settings=settings))
-    idx, zbuf, qv, occ, vis = f(pts_ndc, ellipse, radii, cutoff, mask)
+    idx, zbuf, qv, occ, vis, ovf = f(pts_ndc, ellipse, radii, cutoff, mask)
     return Fragments(idx=idx, zbuf=zbuf, qvalue=qv, occupancy=occ,
-                     visibility=vis)
+                     visibility=vis, tile_overflow=ovf)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5,))
