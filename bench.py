@@ -33,7 +33,7 @@ TRACE_REP = 4         # traces per dispatch (lax.scan) — amortizes the
                       # steady-state throughput number (production
                       # training runs many steps per dispatch; measured
                       # per-trace time is printed either way)
-SPHERE_TRACING_ITERS = 13   # fused backstep: iteration budget shared
+SPHERE_TRACING_ITERS = 21   # fused backstep: iteration budget shared
                             # between forward steps and backsteps
 
 
@@ -99,38 +99,47 @@ def main():
     cam_b = jnp.broadcast_to(cam, dirs.shape)
     gt = jnp.ones(dirs.shape[:-1], dtype=bool)
     # schedule tuned on the measured active-ray decay of the fitted
-    # field (2026-08 r2), every stage ONE eval per iteration:
+    # field (2026-08 r2, retuned by scripts/probe_trace_decay.py),
+    # every stage ONE eval per iteration:
     #   * coarse bf16 for 6 iterations with STALL-ON-CROSS (crossing
     #     fronts revert to their last outside position — no backstep
     #     evals on bf16 noise; the fine phase finishes them),
     #   * fine boundary re-validation (resurrects noise-stopped and
-    #     stalled fronts — active rises to ~0.70·N at iter 6),
-    #   * a two-stage compaction chain (0.70 at 6, 0.45 at 9) running
-    #     the FUSED backstep at fine precision (13 iterations: the
-    #     extra fused iteration costs 0.45 evals but drops the
-    #     unconverged count below the next sampler chunk boundary),
-    #   * the dense sampler at 49152 = 6×8192 slots (the eval width
-    #     quantizes to sampler_chunk_rays; 46954 rays measured
-    #     unconverged, 4.5% headroom, overflow asserted zero) with a
-    #     coarse sweep + fine bracket re-validation. The coarse pick
-    #     carries a 2e-3 hysteresis margin (sampler_coarse_margin):
-    #     without it, bf16 noise mints false first crossings on grazing
-    #     rays and the fine re-check rejects them — a silent 13% hit
-    #     loss. Hit parity: 157788 vs the all-fine sampler's 158355
-    #     (99.6% recall); overflow asserted zero below.
+    #     stalled fronts — start-unfinished rises to ~0.625·N at
+    #     iter 6 with the end front GATED on the start front
+    #     (trace_gate_end_front): a finished start front stops its end
+    #     front, shrinking every compaction active set to the
+    #     start-unfinished count with identical outputs),
+    #   * a four-stage compaction chain (0.65 at 6, 0.42 at 9,
+    #     0.21 at 13, 0.14 at 17) running the FUSED backstep at fine
+    #     precision: marching to 21 iterations costs ~2·(3·0.65 +
+    #     4·0.42 + 4·0.21 + 4·0.14) ≈ 6.7 narrow evals/ray but drops
+    #     the unconverged count 46950 → 22961, i.e. THREE whole
+    #     8192-ray sampler chunks (~8-9 ms of dense sweeping each),
+    #   * the dense sampler at 24576 = 3×8192 slots (22961 rays
+    #     measured unconverged, 6.6% headroom, overflow asserted
+    #     zero) with a coarse sweep + fine bracket re-validation. The
+    #     coarse pick carries a 2e-3 hysteresis margin
+    #     (sampler_coarse_margin): without it, bf16 noise mints false
+    #     first crossings on grazing rays and the fine re-check
+    #     rejects them — a silent 13% hit loss. Hit recall re-measured
+    #     for THIS schedule vs the all-fine full-sweep pipeline
+    #     (scripts/probe_trace_decay.py full); overflow asserted zero
+    #     below.
     # The sampler presweep (Lipschitz certificate) is OFF: measured on
     # this workload it flags 92% of post-trace sampler rays (exactly
     # the grazers that defeat the certificate).
     cfg = RayTracingConfig(sphere_tracing_iters=SPHERE_TRACING_ITERS,
                            sampler_chunk_rays=8192,
-                           sampler_fraction=0.1875,   # 6 chunks of 8192
-                           trace_compact_after=(6, 9),
-                           trace_compact_fraction=(0.70, 0.45),
+                           sampler_fraction=0.09375,  # 3 chunks of 8192
+                           trace_compact_after=(6, 9, 13, 17),
+                           trace_compact_fraction=(0.65, 0.42, 0.21, 0.14),
                            coarse_trace_iters=6,
                            sampler_coarse=True,
                            sampler_coarse_margin=2e-3,
                            coarse_stall_on_cross=True,
-                           fused_backstep=True)
+                           fused_backstep=True,
+                           trace_gate_end_front=True)
 
     @jax.jit
     def trace(k):

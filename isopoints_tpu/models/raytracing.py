@@ -287,6 +287,23 @@ class RayTracingConfig:
     sampler_presweep: int = 0
     sampler_presweep_lipschitz: float = 2.0
     sampler_dense_fraction: float = 0.5
+    # gate the end (far-side) front on the start front: once a ray's
+    # START front is finished (converged or crossed), stop marching its
+    # END front. acc_e is read downstream only as (a) the sampler's
+    # t_hi — and the sampler runs only on start-unfinished rays, whose
+    # end fronts are NOT gated — and (b) the acc_s < acc_e hit test,
+    # where freezing acc_e earlier can only keep it LARGER (acc_e is
+    # non-increasing), so a genuine hit never flips to a miss (the rare
+    # false-miss where an end-front overshoot dips below a converged
+    # start front is in fact avoided). Effect: the compaction active
+    # set shrinks from (un_s | un_e) toward un_s, so
+    # trace_compact_fraction can be tuned tighter, and the while_loop
+    # exits as soon as every START front is done. Caveat: a start front
+    # that coarse noise stopped early gates its end front until the
+    # fine re-validation resurrects it, so that ray's sampler interval
+    # can end slightly wider — re-measure hit recall vs the all-fine
+    # pipeline when enabling (scripts/probe_trace_decay.py).
+    trace_gate_end_front: bool = False
 
 
 
@@ -463,6 +480,8 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
             not_crossed = acc_s < acc_e
             un_s = un_s & (new_s > thr) & not_crossed
             un_e = un_e & (new_e > thr) & not_crossed
+            if cfg.trace_gate_end_front:
+                un_e = un_e & un_s
             return (acc_s, acc_e, new_s, new_e, un_s, un_e,
                     bk_s, bk_e, keep_cur_s, keep_cur_e, it + 1)
 
@@ -497,6 +516,8 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
             not_crossed = acc_s < acc_e
             un_s = un_s & ((bk_s > 0) | ((new_s > thr) & not_crossed))
             un_e = un_e & ((bk_e > 0) | ((new_e > thr) & not_crossed))
+            if cfg.trace_gate_end_front:
+                un_e = un_e & un_s
             return (acc_s, acc_e, new_s, new_e, un_s, un_e,
                     bk_s, bk_e, cur_s, cur_e, it + 1)
 
@@ -521,6 +542,8 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
             not_crossed = acc_s < acc_e
             un_s = un_s & ~crossed_s & (new_s > thr) & not_crossed
             un_e = un_e & ~crossed_e & (new_e > thr) & not_crossed
+            if cfg.trace_gate_end_front:
+                un_e = un_e & un_s
             return (acc_s, acc_e, new_s, new_e, un_s, un_e,
                     bk_s, bk_e, cur_s, cur_e, it + 1)
 
@@ -595,6 +618,8 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
                                   | (bk_s > 0))
         un_e0 = mask_intersect & (((sdf_e > thr) & not_crossed)
                                   | (bk_e > 0))
+        if cfg.trace_gate_end_front:
+            un_e0 = un_e0 & un_s0
         sdf_start0, sdf_end0 = sdf_s, sdf_e
         extras = (bk_s, bk_e, cur_s, cur_e)
         start_state = (acc_s, acc_e)
@@ -604,6 +629,8 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
         sdf_end0 = jnp.where(mask_intersect, sdf_end0, 0.0)
         un_s0 = mask_intersect & (sdf_start0 > thr)
         un_e0 = mask_intersect & (sdf_end0 > thr)
+        if cfg.trace_gate_end_front:
+            un_e0 = un_e0 & un_s0
         extras = None
         start_state = (t_near, t_far)
 
@@ -674,6 +701,8 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
             ncx = st[0] < st[1]
             r_un_s = un_s_in & (((f_s > thr) & ncx) | (st[6] > 0))
             r_un_e = un_e_in & (((f_e > thr) & ncx) | (st[7] > 0))
+            if cfg.trace_gate_end_front:
+                r_un_e = r_un_e & r_un_s
             st = (st[0], st[1], f_s, f_e, r_un_s, r_un_e) + st[6:]
 
     # unwind: scatter each stage's result back into its parent buffer

@@ -822,3 +822,58 @@ class TestCoarseStallOnCross:
         hits = np.asarray(res.network_object_mask)
         assert hits.sum() > 0
         assert np.abs(np.asarray(f(res.points))[hits]).max() < 1e-3
+
+
+class TestEndFrontGating:
+    """trace_gate_end_front: stop marching a ray's end front once its
+    start front is finished. Must be output-equivalent to the ungated
+    trace — acc_e is only read as the sampler's t_hi (start-unfinished
+    rays, whose end fronts are not gated) and in the acc_s < acc_e hit
+    test (freezing acc_e earlier keeps it larger, never flipping a
+    genuine hit)."""
+
+    def _run(self, gate, f, extra=None, key=1, seed=31):
+        cam, d, gt = _ray_fan(n=512, seed=seed)
+        cfg = RayTracingConfig(sphere_tracing_iters=16,
+                               sampler_chunk_rays=128,
+                               sampler_fraction=0.5,
+                               trace_compact_after=(6, 10),
+                               trace_compact_fraction=(0.9, 0.7),
+                               fused_backstep=True,
+                               trace_gate_end_front=gate,
+                               **(extra or {}))
+        return ray_trace(f, cam, d, gt, jax.random.key(key), cfg,
+                         training=True,
+                         sdf_fn_coarse=f if extra else None)
+
+    @pytest.mark.parametrize("shape", ["sphere", "torus"])
+    def test_matches_ungated(self, shape):
+        f = sphere_sdf() if shape == "sphere" else torus_sdf()
+        r0 = self._run(False, f)
+        r1 = self._run(True, f)
+        np.testing.assert_array_equal(
+            np.asarray(r0.network_object_mask),
+            np.asarray(r1.network_object_mask))
+        np.testing.assert_array_equal(np.asarray(r0.sampler_mask),
+                                      np.asarray(r1.sampler_mask))
+        np.testing.assert_allclose(np.asarray(r0.dists),
+                                   np.asarray(r1.dists), atol=1e-6)
+
+    def test_matches_ungated_with_coarse_schedule(self):
+        f = torus_sdf()
+        extra = dict(coarse_trace_iters=6, coarse_stall_on_cross=True,
+                     sampler_coarse=True)
+        r0 = self._run(False, f, extra, seed=32)
+        r1 = self._run(True, f, extra, seed=32)
+        np.testing.assert_array_equal(
+            np.asarray(r0.network_object_mask),
+            np.asarray(r1.network_object_mask))
+        np.testing.assert_allclose(np.asarray(r0.dists),
+                                   np.asarray(r1.dists), atol=1e-6)
+
+    def test_gated_hits_on_surface(self):
+        f = torus_sdf()
+        res = self._run(True, f, seed=33)
+        hits = np.asarray(res.network_object_mask)
+        assert hits.sum() > 0
+        assert np.abs(np.asarray(f(res.points))[hits]).max() < 1e-3
