@@ -112,10 +112,13 @@ def main():
     #     start-unfinished count with identical outputs),
     #   * a four-stage compaction chain (0.65 at 6, 0.42 at 9,
     #     0.21 at 13, 0.14 at 17) running the FUSED backstep at fine
-    #     precision: marching to 21 iterations costs ~2·(3·0.65 +
-    #     4·0.42 + 4·0.21 + 4·0.14) ≈ 6.7 narrow evals/ray but drops
-    #     the unconverged count 46950 → 22961, i.e. THREE whole
-    #     8192-ray sampler chunks (~8-9 ms of dense sweeping each),
+    #     precision: marching 6 → 21 costs 3·0.65 + 4·0.42 + 4·0.21 +
+    #     4·0.14 ≈ 5.0 compacted-width iterations per original ray,
+    #     each ONE fused eval of both fronts (= ~10 point-evals/ray
+    #     ungated; end-front gating trims the two-front factor as
+    #     start fronts finish first), and drops the unconverged
+    #     count 46950 → 22961, i.e. THREE whole 8192-ray sampler
+    #     chunks (~8-9 ms of dense sweeping each),
     #   * the dense sampler at 24576 = 3×8192 slots (22961 rays
     #     measured unconverged, 6.6% headroom, overflow asserted
     #     zero) with a coarse sweep + fine bracket re-validation. The

@@ -291,12 +291,15 @@ class RayTracingConfig:
     # START front is finished (converged or crossed), stop marching its
     # END front. acc_e is read downstream only as (a) the sampler's
     # t_hi — and the sampler runs only on start-unfinished rays, whose
-    # end fronts are NOT gated — and (b) the acc_s < acc_e hit test,
-    # where freezing acc_e earlier can only keep it LARGER (acc_e is
-    # non-increasing), so a genuine hit never flips to a miss (the rare
-    # false-miss where an end-front overshoot dips below a converged
-    # start front is in fact avoided). Effect: the compaction active
-    # set shrinks from (un_s | un_e) toward un_s, so
+    # end fronts are NOT gated — and (b) the acc_s < acc_e hit test.
+    # Under fused backsteps acc_e is NOT non-increasing (a backstep
+    # moves it back up), so the gate must let a PENDING end-front
+    # backstep (bk_e > 0) drain before freezing: freezing mid-backstep
+    # would park acc_e at an overshot (too-small) position and could
+    # flip a genuine hit to a miss via the acc_s < acc_e test. With
+    # that keep-alive, a gated end front always freezes at an outside
+    # (post-backstep or pre-cross) position. Effect: the compaction
+    # active set shrinks from (un_s | un_e) toward un_s, so
     # trace_compact_fraction can be tuned tighter, and the while_loop
     # exits as soon as every START front is done. Caveat: a start front
     # that coarse noise stopped early gates its end front until the
@@ -517,7 +520,9 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
             un_s = un_s & ((bk_s > 0) | ((new_s > thr) & not_crossed))
             un_e = un_e & ((bk_e > 0) | ((new_e > thr) & not_crossed))
             if cfg.trace_gate_end_front:
-                un_e = un_e & un_s
+                # keep-alive: drain a pending end-front backstep before
+                # freezing, else acc_e parks at an overshot position
+                un_e = un_e & (un_s | (bk_e > 0))
             return (acc_s, acc_e, new_s, new_e, un_s, un_e,
                     bk_s, bk_e, cur_s, cur_e, it + 1)
 
@@ -619,7 +624,7 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
         un_e0 = mask_intersect & (((sdf_e > thr) & not_crossed)
                                   | (bk_e > 0))
         if cfg.trace_gate_end_front:
-            un_e0 = un_e0 & un_s0
+            un_e0 = un_e0 & (un_s0 | (bk_e > 0))
         sdf_start0, sdf_end0 = sdf_s, sdf_e
         extras = (bk_s, bk_e, cur_s, cur_e)
         start_state = (acc_s, acc_e)
@@ -702,7 +707,7 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
             r_un_s = un_s_in & (((f_s > thr) & ncx) | (st[6] > 0))
             r_un_e = un_e_in & (((f_e > thr) & ncx) | (st[7] > 0))
             if cfg.trace_gate_end_front:
-                r_un_e = r_un_e & r_un_s
+                r_un_e = r_un_e & (r_un_s | (st[7] > 0))
             st = (st[0], st[1], f_s, f_e, r_un_s, r_un_e) + st[6:]
 
     # unwind: scatter each stage's result back into its parent buffer

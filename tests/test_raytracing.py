@@ -877,3 +877,62 @@ class TestEndFrontGating:
         hits = np.asarray(res.network_object_mask)
         assert hits.sum() > 0
         assert np.abs(np.asarray(f(res.points))[hits]).max() < 1e-3
+
+    def test_pending_end_backstep_drains_before_freeze(self):
+        """Hand-constructed 1-ray witness for the gate/pending-backstep
+        interaction: the field is piecewise-linear in z along the ray
+        from (0,0,-2) toward +z (t = z + 2, trace interval t ∈ [1, 3]).
+
+        Iteration 1 (fused backstep): the start front steps
+        f(-1) = 0.4 to t = 1.4 where f = 0 → converged (un_s dies);
+        the end front steps f(+1) = 1.65 to t = 1.35 — PAST the start
+        front and inside the surface (f = -0.5 < 0), scheduling a
+        backstep (bk_e = 1). A gate that freezes the end front here
+        parks acc_e = 1.35 < acc_s = 1.4 and flips the genuine hit to a
+        miss; draining the backstep first recovers acc_e = 2.175 and
+        keeps the hit, matching the ungated trace exactly."""
+        zs = jnp.array([-2.0, -1.0, -0.9, -0.65, -0.62, -0.6,
+                        -0.3, 0.3, 1.0, 2.0])
+        gs = jnp.array([1.4, 0.4, -0.3, -0.5, -0.2, 0.0,
+                        0.15, 0.45, 1.65, 3.0])
+        f = lambda x: jnp.interp(x[..., 2], zs, gs)
+        cam = jnp.array([[[0.0, 0.0, -2.0]]])
+        d = jnp.array([[[0.0, 0.0, 1.0]]])
+        gt = jnp.array([[True]])
+        res = {}
+        for gate in (False, True):
+            cfg = RayTracingConfig(sphere_tracing_iters=16,
+                                   fused_backstep=True,
+                                   trace_gate_end_front=gate)
+            res[gate] = ray_trace(f, cam, d, gt, jax.random.key(0),
+                                  cfg, training=False)
+        assert bool(res[False].network_object_mask[0, 0]), \
+            "witness invalid: ungated trace must register the hit"
+        assert bool(res[True].network_object_mask[0, 0]), \
+            "gate froze a pending end-front backstep at an overshot " \
+            "acc_e < acc_s and flipped the hit to a miss"
+        np.testing.assert_allclose(np.asarray(res[False].dists),
+                                   np.asarray(res[True].dists),
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize("seed", [34, 35, 36])
+    def test_matches_ungated_nonmetric_field(self, seed):
+        """Over-stepping (non-metric) field: f = 1.5·sphere makes every
+        sphere-tracing step overshoot by 50%, so fused END-front
+        backsteps (bk_e > 0) provably fire — the only regime where the
+        gate and a pending backstep interact. The gate must let a
+        pending backstep drain before freezing; freezing mid-backstep
+        parks acc_e at an overshot position and can flip a genuine hit
+        (acc_s < acc_e) to a miss."""
+        base = sphere_sdf()
+        f = lambda x: 1.5 * base(x)
+        r0 = self._run(False, f, seed=seed)
+        r1 = self._run(True, f, seed=seed)
+        hits = np.asarray(r0.network_object_mask)
+        assert hits.sum() > 0
+        np.testing.assert_array_equal(
+            hits, np.asarray(r1.network_object_mask))
+        np.testing.assert_array_equal(np.asarray(r0.sampler_mask),
+                                      np.asarray(r1.sampler_mask))
+        np.testing.assert_allclose(np.asarray(r0.dists),
+                                   np.asarray(r1.dists), atol=1e-6)
