@@ -29,6 +29,15 @@ def main():
                         choices=["sphere", "torus", "box"],
                         help="analytic GT surface (synthetic runs)")
     parser.add_argument("--n-samples", type=int, default=50000)
+    parser.add_argument("--scale-mat-from", type=str, default=None,
+                        metavar="DATA_DIR",
+                        help="DTU data dir: apply its scale_mat_0 "
+                             "(normalized->world) to every evaluated "
+                             "mesh so metrics are computed in world "
+                             "coordinates (for meshes saved in "
+                             "normalized training coordinates; "
+                             "generation/mesh.ply from generate_mvr.py "
+                             "is already denormalized)")
     args = parser.parse_args()
 
     import jax
@@ -56,6 +65,8 @@ def main():
         data = read_ply(args.gt_points)
         gt_points = data["points"][:args.n_samples]
         gt_normals = data.get("normals")
+        if gt_normals is not None:
+            gt_normals = gt_normals[:args.n_samples]
     elif args.gt_mesh:
         data = read_ply(args.gt_mesh)
         gt_points, gt_normals = sample_points_from_mesh(
@@ -92,12 +103,23 @@ def main():
         gd = read_ply(args.gt_mesh)
         gt_verts, gt_faces = gd["points"], gd.get("faces")
 
+    scale_mat = None
+    if args.scale_mat_from:
+        from isopoints_tpu.data.dataset import DTUDataset
+
+        scale_mat = DTUDataset(args.scale_mat_from).get_scale_mat()
+        log.info("denormalizing meshes with scale_mat from %s",
+                 args.scale_mat_from)
+
     out_csv = os.path.join(args.exp_dir, "eval.csv")
     rows = []
     for m in meshes:
         data = read_ply(m)
         if "faces" not in data or data["faces"] is None:
             continue
+        if scale_mat is not None:
+            data["points"] = (data["points"] @ scale_mat[:3, :3].T
+                              + scale_mat[:3, 3])
         metrics = evaluate_mesh(data["points"], data["faces"], gt_points,
                                 gt_normals, gt_verts=gt_verts,
                                 gt_faces=gt_faces, n_samples=args.n_samples)

@@ -55,6 +55,16 @@ def main():
         mesh_resolution=args.mesh_resolution, image_size=args.image_size))
 
     verts, faces = gen.generate_mesh(params)
+    if str(cfg.data.get("type", "")).upper() == "DTU":
+        # the model is trained in scale_mat-normalized coordinates;
+        # emit the mesh in the scan's original world frame so chamfer/
+        # point-face metrics compare against the unnormalized GT
+        # (reference generate_mvr.py:76-78)
+        from isopoints_tpu.data.dataset import DTUDataset
+
+        sm = DTUDataset(cfg.data.data_dir).get_scale_mat()
+        verts = verts @ sm[:3, :3].T + sm[:3, 3]
+        log.info("applied DTU scale_mat denormalization")
     save_ply(os.path.join(out_dir, "mesh.ply"), verts, faces=faces)
     log.info("mesh: %d verts %d faces -> %s/mesh.ply",
              len(verts), len(faces), out_dir)

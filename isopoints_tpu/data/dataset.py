@@ -151,6 +151,13 @@ class DTUDataset:
         K = K / K[2, 2]
         return K.astype(np.float32), R.astype(np.float32), t.astype(np.float32)
 
+    def get_scale_mat(self) -> np.ndarray:
+        """Normalized->world similarity transform (reference
+        dataset.py:343-344): apply to generated meshes so chamfer and
+        point-face metrics are computed in the scan's original world
+        coordinates (reference generate_mvr.py:76-78)."""
+        return self.scale_mats[0]
+
     def __len__(self) -> int:
         return len(self.image_files)
 

@@ -232,12 +232,20 @@ def make_mesh_mvr(verts: np.ndarray, faces: np.ndarray, n_views: int = 24,
 def make_synthetic_dtu(sdf_fn: Callable, out_dir: str, n_views: int = 8,
                        image_size: int = 64, dist: float = 2.0,
                        focal_pix: Optional[float] = None,
-                       seed: int = 0) -> None:
+                       seed: int = 0,
+                       scale_mat: Optional[np.ndarray] = None) -> None:
     """Write a synthetic dataset in the IDR/DTU layout the `DTUDataset`
     loader expects (reference DSS/utils/dataset.py:231-377): image/,
     mask/, cameras.npz with `world_mat_%d` = K[R|t] column-convention
-    projections and `scale_mat_%d` (identity — data already in the unit
-    box), plus points.ply GT samples.
+    projections and `scale_mat_%d`, plus points.ply GT samples.
+
+    `scale_mat` (4,4): the IDR normalized->world similarity. When
+    given, `world_mat_i` is written as P_norm @ inv(scale_mat) so the
+    loader's P = world_mat @ scale_mat recovers the same normalized-
+    coordinate cameras (images identical), while the GT points.ply is
+    emitted in WORLD coordinates — exercising the reference's
+    generate-time denormalization (generate_mvr.py:76-78) end to end.
+    Default None writes identity (data already in the unit box).
 
     Consistency by construction: the world matrices are written first,
     then the images are RENDERED with the cameras `DTUDataset.camera`
@@ -256,6 +264,10 @@ def make_synthetic_dtu(sdf_fn: Callable, out_dir: str, n_views: int = 8,
     elev = rng.uniform(-30.0, 30.0, size=n_views)
     azim = np.linspace(0.0, 360.0, n_views, endpoint=False)
     R_row, T_row = look_at_view_transform([dist] * n_views, elev, azim)
+    if scale_mat is None:
+        scale_mat = np.eye(4, dtype=np.float32)
+    scale_mat = np.asarray(scale_mat, np.float32)
+    scale_inv = np.linalg.inv(scale_mat).astype(np.float32)
     cams_npz = {}
     for i in range(n_views):
         # loader convention: decomposed R is column world->view and the
@@ -265,8 +277,10 @@ def make_synthetic_dtu(sdf_fn: Callable, out_dir: str, n_views: int = 8,
         P = K @ np.concatenate([R_dec, t[:, None]], axis=1)   # (3, 4)
         wm = np.eye(4, dtype=np.float32)
         wm[:3, :4] = P
-        cams_npz[f"world_mat_{i}"] = wm
-        cams_npz[f"scale_mat_{i}"] = np.eye(4, dtype=np.float32)
+        # world_mat projects WORLD points; the loader recovers the
+        # normalized-coordinate projection as world_mat @ scale_mat
+        cams_npz[f"world_mat_{i}"] = wm @ scale_inv
+        cams_npz[f"scale_mat_{i}"] = scale_mat
 
     os.makedirs(os.path.join(out_dir, "image"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "mask"), exist_ok=True)
@@ -294,9 +308,15 @@ def make_synthetic_dtu(sdf_fn: Callable, out_dir: str, n_views: int = 8,
     proj = project_points_newton(sdf_fn, init, jnp.ones((1, 4096), bool),
                                  max_iters=30, tolerance=1e-5)
     ok = np.asarray(proj.mask[0])
-    save_ply(os.path.join(out_dir, "points.ply"),
-             np.asarray(proj.points[0])[ok],
-             normals=np.asarray(proj.normals[0])[ok])
+    # GT scan lives in WORLD coordinates (like a real DTU scan): apply
+    # the normalized->world scale_mat to surface points, its rotation
+    # part (scale cancels in normalization) to normals
+    pts_n = np.asarray(proj.points[0])[ok]
+    nrm_n = np.asarray(proj.normals[0])[ok]
+    pts_w = pts_n @ scale_mat[:3, :3].T + scale_mat[:3, 3]
+    nrm_w = nrm_n @ np.linalg.inv(scale_mat[:3, :3]).astype(np.float32)
+    nrm_w /= np.maximum(np.linalg.norm(nrm_w, axis=-1, keepdims=True), 1e-12)
+    save_ply(os.path.join(out_dir, "points.ply"), pts_w, normals=nrm_w)
 
 
 def export_mvr_dataset(data: Dict[str, np.ndarray], out_dir: str) -> None:

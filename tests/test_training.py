@@ -457,6 +457,54 @@ class TestDTUMVRPath:
             state, metrics = trainer.train_step(state, img, mask, cam)
             assert np.isfinite(metrics["loss"])
 
+    def test_scale_mat_denormalization_roundtrip(self, tmp_path):
+        """VERDICT r2 item 5: a NON-IDENTITY scale_mat scan round-trips
+        in world coordinates — the loader recovers the same normalized
+        cameras (identical images), GT points.ply comes out in world
+        coordinates, and a normalized-coordinate mesh denormalized with
+        get_scale_mat() scores a tiny chamfer against the world GT
+        (reference generate_mvr.py:76-78)."""
+        from isopoints_tpu.data.dataset import DTUDataset
+        from isopoints_tpu.data.synthetic import make_synthetic_dtu
+        from isopoints_tpu.training.evaluation import evaluate_mesh
+        from isopoints_tpu.utils.io import read_ply
+        from isopoints_tpu.utils.meshing import extract_mesh
+
+        sm = np.eye(4, dtype=np.float32)
+        sm[:3, :3] *= 2.5                       # world scan radius 1.25
+        sm[:3, 3] = [10.0, -4.0, 3.0]           # far from the origin
+        out_s = str(tmp_path / "dtu_scaled")
+        out_i = str(tmp_path / "dtu_ident")
+        make_synthetic_dtu(sphere_sdf(0.5), out_s, n_views=2,
+                           image_size=24, scale_mat=sm)
+        make_synthetic_dtu(sphere_sdf(0.5), out_i, n_views=2,
+                           image_size=24)
+        ds = DTUDataset(out_s)
+        ds_i = DTUDataset(out_i)
+        np.testing.assert_allclose(ds.get_scale_mat(), sm)
+        # loader undoes the scale: images identical to the identity scan
+        np.testing.assert_array_equal(ds[0]["img.mask"],
+                                      ds_i[0]["img.mask"])
+        for a, b in zip(ds.intrinsics, ds_i.intrinsics):
+            np.testing.assert_allclose(a, b, atol=1e-3)
+
+        # GT points are in WORLD coordinates: |p - center| == 0.5 * 2.5
+        gt = read_ply(os.path.join(out_s, "points.ply"))
+        r = np.linalg.norm(gt["points"] - sm[:3, 3], axis=-1)
+        np.testing.assert_allclose(r, 1.25, atol=1e-3)
+
+        # normalized-frame mesh -> world via scale_mat -> tiny chamfer
+        verts, faces = extract_mesh(sphere_sdf(0.5), resolution=48)
+        verts_w = verts @ sm[:3, :3].T + sm[:3, 3]
+        m = evaluate_mesh(verts_w, faces, gt["points"], gt.get("normals"),
+                          n_samples=2000)
+        assert m["chamfer_p"] < 1e-2, m
+        # and WITHOUT denormalization the chamfer is catastrophically
+        # wrong (the r2 verdict's exact failure mode)
+        m_bad = evaluate_mesh(verts, faces, gt["points"],
+                              gt.get("normals"), n_samples=2000)
+        assert m_bad["chamfer_p"] > 10 * m["chamfer_p"], (m_bad, m)
+
     def test_dtu_mvr_config_composes(self, tmp_path):
         """configs/dtu_mvr.yml builds dataset+model+trainer through the
         factories against a synthetic DTU-format dir."""
