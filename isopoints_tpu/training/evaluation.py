@@ -44,6 +44,58 @@ def chamfer_distance(x: jax.Array, y: jax.Array,
     return out
 
 
+def point_tri_sq_dists(p: jax.Array, a: jax.Array, b: jax.Array,
+                       c: jax.Array) -> jax.Array:
+    """Exact pairwise point-triangle squared distances, (C, F).
+
+    p: (C, 3) points; a/b/c: (F, 3) triangle vertices. Pure jnp and
+    differentiable w.r.t. `p` — also the magnitude term of
+    `signed_distance_loss` (reference losses.py:595-597).
+    """
+    ab = b - a
+    ac = c - a
+    ap = p[:, None, :] - a[None]                   # (C, F, 3)
+    d1 = jnp.einsum("fd,cfd->cf", ab, ap)
+    d2 = jnp.einsum("fd,cfd->cf", ac, ap)
+    bp = p[:, None, :] - b[None]
+    d3 = jnp.einsum("fd,cfd->cf", ab, bp)
+    d4 = jnp.einsum("fd,cfd->cf", ac, bp)
+    cp = p[:, None, :] - c[None]
+    d5 = jnp.einsum("fd,cfd->cf", ab, cp)
+    d6 = jnp.einsum("fd,cfd->cf", ac, cp)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = jnp.maximum(va + vb + vc, 1e-20)
+    v = jnp.clip(vb / denom, 0.0, 1.0)
+    w = jnp.clip(vc / denom, 0.0, 1.0)
+    # interior closest point
+    proj_in = a[None] + v[..., None] * ab[None] + w[..., None] * ac[None]
+
+    # edge/vertex regions via barycentric clamping of each edge
+    def edge_closest(p0, e, d_num, d_den):
+        t = jnp.clip(d_num / jnp.maximum(d_den, 1e-20), 0.0, 1.0)
+        return p0[None] + t[..., None] * e[None]
+
+    cand_ab = edge_closest(a, ab, d1, jnp.sum(ab * ab, -1)[None])
+    cand_ac = edge_closest(a, ac, d2, jnp.sum(ac * ac, -1)[None])
+    bc = c - b
+    dbc = jnp.einsum("fd,cfd->cf", bc, bp)
+    cand_bc = edge_closest(b, bc, dbc, jnp.sum(bc * bc, -1)[None])
+
+    # the interior candidate is valid ONLY inside the triangle
+    # (independently-clamped v/w otherwise land on a fake point,
+    # e.g. v=w=1 -> b+c-a); outside, the closest point is on an edge
+    inside = (va >= 0) & (vb >= 0) & (vc >= 0)
+    d_best = jnp.sum((p[:, None] - cand_ab) ** 2, -1)
+    for cand in (cand_ac, cand_bc):
+        d_c = jnp.sum((p[:, None] - cand) ** 2, -1)
+        d_best = jnp.minimum(d_best, d_c)
+    d_in = jnp.sum((p[:, None] - proj_in) ** 2, -1)
+    return jnp.where(inside, jnp.minimum(d_best, d_in), d_best)
+
+
 def point_face_distance(points: np.ndarray, verts: np.ndarray,
                         faces: np.ndarray, chunk: int = 4096,
                         max_pairs: int = 50_000_000) -> float:
@@ -60,49 +112,7 @@ def point_face_distance(points: np.ndarray, verts: np.ndarray,
 
     @jax.jit
     def chunk_dist(p):                                  # (C, 3)
-        ab = b - a
-        ac = c - a
-        ap = p[:, None, :] - a[None]                   # (C, F, 3)
-        d1 = jnp.einsum("fd,cfd->cf", ab, ap)
-        d2 = jnp.einsum("fd,cfd->cf", ac, ap)
-        bp = p[:, None, :] - b[None]
-        d3 = jnp.einsum("fd,cfd->cf", ab, bp)
-        d4 = jnp.einsum("fd,cfd->cf", ac, bp)
-        cp = p[:, None, :] - c[None]
-        d5 = jnp.einsum("fd,cfd->cf", ab, cp)
-        d6 = jnp.einsum("fd,cfd->cf", ac, cp)
-
-        va = d3 * d6 - d5 * d4
-        vb = d5 * d2 - d1 * d6
-        vc = d1 * d4 - d3 * d2
-        denom = jnp.maximum(va + vb + vc, 1e-20)
-        v = jnp.clip(vb / denom, 0.0, 1.0)
-        w = jnp.clip(vc / denom, 0.0, 1.0)
-        # interior closest point
-        proj_in = a[None] + v[..., None] * ab[None] + w[..., None] * ac[None]
-
-        # edge/vertex regions via barycentric clamping of each edge
-        def edge_closest(p0, e, d_num, d_den):
-            t = jnp.clip(d_num / jnp.maximum(d_den, 1e-20), 0.0, 1.0)
-            return p0[None] + t[..., None] * e[None]
-
-        cand_ab = edge_closest(a, ab, d1, jnp.sum(ab * ab, -1)[None])
-        cand_ac = edge_closest(a, ac, d2, jnp.sum(ac * ac, -1)[None])
-        bc = c - b
-        dbc = jnp.einsum("fd,cfd->cf", bc, bp)
-        cand_bc = edge_closest(b, bc, dbc, jnp.sum(bc * bc, -1)[None])
-
-        # the interior candidate is valid ONLY inside the triangle
-        # (independently-clamped v/w otherwise land on a fake point,
-        # e.g. v=w=1 -> b+c-a); outside, the closest point is on an edge
-        inside = (va >= 0) & (vb >= 0) & (vc >= 0)
-        d_best = jnp.sum((p[:, None] - cand_ab) ** 2, -1)
-        for cand in (cand_ac, cand_bc):
-            d_c = jnp.sum((p[:, None] - cand) ** 2, -1)
-            d_best = jnp.minimum(d_best, d_c)
-        d_in = jnp.sum((p[:, None] - proj_in) ** 2, -1)
-        d_best = jnp.where(inside, jnp.minimum(d_best, d_in), d_best)
-        return jnp.min(d_best, axis=1)                  # (C,)
+        return jnp.min(point_tri_sq_dists(p, a, b, c), axis=1)  # (C,)
 
     points = np.asarray(points, np.float32)
     total, count = 0.0, 0

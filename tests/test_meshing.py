@@ -12,7 +12,7 @@ from isopoints_tpu.utils.meshing import (
 from isopoints_tpu.training.losses import (
     eikonal_loss, normal_cos_loss, sdf_freespace_loss, sdf_occupancy_loss,
     sal_space_loss, sald_offnormal_loss, iou_loss, projection_loss,
-    repulsion_loss, smape_loss,
+    repulsion_loss, signed_distance_loss, smape_loss,
 )
 
 
@@ -165,3 +165,63 @@ class TestNativeMarchingTets:
         iN = np.lexsort(v_native.T)
         ip = np.lexsort(v_np.T)
         np.testing.assert_allclose(v_native[iN], v_np[ip], atol=1e-5)
+
+
+class TestSignedDistanceLoss:
+    """SignedDistanceLoss parity (reference losses.py:536-599): sign via
+    inside/outside parity against the GT mesh, magnitude via exact
+    point-face distance, loss = (sign·dist − sdf)²."""
+
+    def _sphere_mesh(self, resolution=40, r=0.5):
+        sdf = lambda x: jnp.linalg.norm(x, axis=-1) - r
+        verts, faces = extract_mesh(sdf, resolution=resolution)
+        return jnp.asarray(verts), jnp.asarray(faces), sdf
+
+    def test_zero_at_true_signed_distance(self, rng):
+        verts, faces, sdf = self._sphere_mesh()
+        pts = jnp.asarray(rng.uniform(-0.8, 0.8, (256, 3)), jnp.float32)
+        true_sd = sdf(pts)
+        loss = signed_distance_loss(pts, true_sd, verts, faces)
+        # bounded by the marching-tet discretization of the sphere
+        assert float(loss) < 1e-4, float(loss)
+        # wrong-sign predictions are heavily penalized
+        loss_flipped = signed_distance_loss(pts, -true_sd, verts, faces)
+        assert float(loss_flipped) > 100 * max(float(loss), 1e-9)
+
+    def test_sign_parity(self):
+        verts, faces, _ = self._sphere_mesh()
+        pts = jnp.asarray([[0.0, 0.0, 0.0],        # deep inside
+                           [0.3, 0.0, 0.0],        # inside
+                           [0.0, 0.7, 0.0],        # outside
+                           [-0.9, -0.1, 0.2]],     # outside
+                          jnp.float32)
+        # recover sign·dist by supervising sdf=0: loss = dist²; compare
+        # against per-point losses with the true signed values instead
+        per_true = signed_distance_loss(
+            pts, jnp.linalg.norm(pts, axis=-1) - 0.5, verts, faces,
+            reduction="none")
+        assert float(jnp.max(per_true)) < 2e-4, np.asarray(per_true)
+
+    def test_gradients_flow_to_sdf_and_points(self, rng):
+        verts, faces, sdf = self._sphere_mesh(resolution=24)
+        pts = jnp.asarray(rng.uniform(-0.7, 0.7, (64, 3)), jnp.float32)
+
+        def f(p, s):
+            return signed_distance_loss(p, s, verts, faces)
+
+        gp, gs = jax.grad(f, argnums=(0, 1))(pts, sdf(pts) * 0.5)
+        assert np.isfinite(np.asarray(gp)).all()
+        assert float(jnp.abs(gs).max()) > 0
+        assert float(jnp.abs(gp).max()) > 0
+
+    def test_masked_reduction(self, rng):
+        verts, faces, sdf = self._sphere_mesh(resolution=24)
+        pts = jnp.asarray(rng.uniform(-0.7, 0.7, (32, 3)), jnp.float32)
+        wrong = jnp.ones((32,), jnp.float32) * 5.0
+        mask = jnp.zeros((32,), bool).at[:4].set(True)
+        full = signed_distance_loss(pts, wrong, verts, faces,
+                                    reduction="none")
+        masked = signed_distance_loss(pts, wrong, verts, faces,
+                                      mask=mask, reduction="sum")
+        np.testing.assert_allclose(float(masked),
+                                   float(jnp.sum(full[:4])), rtol=1e-6)
