@@ -76,20 +76,24 @@ class CombinedModel(ImplicitModel):
 
     # ------------------------------------------------------------------
     def visible_points_mask(self, params, points, mask, normals,
-                            camera: PerspectiveCamera) -> jax.Array:
+                            camera: PerspectiveCamera,
+                            spacing=None) -> jax.Array:
         """Points producing fragments under `camera` — the reference's
-        throwaway 256px splat render (utils/__init__.py:699-711)."""
+        throwaway 256px splat render (utils/__init__.py:699-711).
+        `spacing`: cached splat_spacing h_k for `points` (the forward
+        hoists ONE kNN for its three visibility renders)."""
         b = camera.batch_size
         tile = lambda x: jnp.broadcast_to(x, (b,) + x.shape[1:])
         sp = compute_splat_params(tile(points), tile(normals), tile(mask),
-                                  camera, self.raster_settings)
+                                  camera, self.raster_settings,
+                                  spacing=spacing)
         frags = rasterize_splats(sp.pts_ndc, sp.ellipse, sp.radii, sp.cutoff,
                                  sp.mask, self.raster_settings)
         return jnp.any(frags.visibility, axis=0, keepdims=True)  # (1, P)
 
     def get_visible_iso_points(self, params, points, mask,
                                camera: PerspectiveCamera, key: jax.Array,
-                               normals=None, vis=None
+                               normals=None, vis=None, spacing=None
                                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Visibility-filter → cap/upsample to max_iso_per_batch →
         random 0.05 offset → project (combined_modeling.py:390-478).
@@ -105,7 +109,7 @@ class CombinedModel(ImplicitModel):
             _, normals = _sg(f, points)
         if vis is None:
             vis = self.visible_points_mask(params, points, mask, normals,
-                                           camera) & mask
+                                           camera, spacing=spacing) & mask
 
         # cap: keep a random subset of m visible points (subsample path);
         # too-few: midpoint-upsample to m (upsample path). Both reduce to
@@ -157,7 +161,7 @@ class CombinedModel(ImplicitModel):
                                           camera: PerspectiveCamera,
                                           key: jax.Array,
                                           normals=None, frontal=None,
-                                          ray_uniform=None):
+                                          ray_uniform=None, spacing=None):
         """Freespace + occluded-insurface candidates
         (combined_modeling.py:237-388).
 
@@ -207,9 +211,10 @@ class CombinedModel(ImplicitModel):
             normals = jax.lax.stop_gradient(_sg(f, points)[1])
         if frontal is None:
             frontal = self.visible_points_mask(params, points, mask, normals,
-                                               camera) & mask
+                                               camera, spacing=spacing) & mask
         occluded = self.visible_points_mask(params, points, mask, normals,
-                                            back_camera(camera)) & mask
+                                            back_camera(camera),
+                                            spacing=spacing) & mask
 
         def ray_bound(vis_mask):
             # closest point to each ray -> its along-ray length
@@ -258,9 +263,15 @@ class CombinedModel(ImplicitModel):
         # visibility-projection and the off-surface bound search
         f_trace = self.trace_sdf_fn(params)
         from isopoints_tpu.models.fields import sdf_and_grad as _sg
+        from isopoints_tpu.rendering.rasterizer import splat_spacing
         pts_normals = jax.lax.stop_gradient(_sg(f_trace, points)[1])
+        # ONE kNN for all three visibility renders this step (the splat
+        # spacing h_k depends only on the point buffer, not the camera)
+        pts_spacing = splat_spacing(points, points_mask,
+                                    self.raster_settings)
         frontal = self.visible_points_mask(params, points, points_mask,
-                                           pts_normals, camera) & points_mask
+                                           pts_normals, camera,
+                                           spacing=pts_spacing) & points_mask
 
         iso_pts, iso_normals, iso_mask = self.get_visible_iso_points(
             params, points, points_mask, camera, k1,
@@ -278,7 +289,7 @@ class CombinedModel(ImplicitModel):
                     params, ndc_pixels, mask_img, iso_pts, iso_mask,
                     points, points_mask, camera, k2,
                     normals=pts_normals, frontal=frontal,
-                    ray_uniform=ray_uniform)
+                    ray_uniform=ray_uniform, spacing=pts_spacing)
         else:
             p_free, free_mask, p_ins, ins_mask = (
                 ons_pts, jnp.zeros_like(ons_mask),

@@ -133,16 +133,44 @@ def _tangent_basis(normals: jax.Array) -> jax.Array:
     return jnp.stack([u0, u1], axis=-2)
 
 
+def splat_spacing(points: jax.Array, mask: jax.Array,
+                  settings: RasterizationSettings) -> jax.Array:
+    """Per-point splat spacing h_k = ½·max kNN dist² (rasterizer.py:
+    344-386, pre-clip), the only kNN-derived quantity the isotropic /
+    global Vrk paths need.
+
+    Exposed so callers can HOIST/CACHE it: the kNN costs ~11 ms at
+    24.5k pts and the point set only changes at iso-refresh cadence
+    (combined model) or between projection rounds — recomputing it
+    inside every `compute_splat_params` call dominates the splat
+    frame. Pass the result as `spacing=`.
+    """
+    s = settings
+    res = knn_points(points, points, mask, mask, k=max(s.knn_k - 1, 1),
+                     exclude_self=True)
+    sq = jnp.where(res.mask, res.dists, 0.0)
+    h_k = 0.5 * jnp.max(sq, axis=-1)                          # (B, P)
+    # too-few-neighbor clouds: sq_dist=1e-3 -> h_k=5e-4 (reference :377-385)
+    enough = jnp.sum(mask.astype(jnp.int32), axis=-1, keepdims=True) >= s.knn_k
+    return jnp.where(enough, h_k, 5e-4)
+
+
 def compute_splat_params(points: jax.Array, normals: jax.Array, mask: jax.Array,
                          camera: PerspectiveCamera,
                          settings: RasterizationSettings,
-                         cutoff_scale=None) -> SplatParams:
+                         cutoff_scale=None,
+                         spacing: Optional[jax.Array] = None) -> SplatParams:
     """Per-point EWA parameters (rasterizer.py:523-563 _get_per_point_info,
     plus the depth/backface filters :149-218).
 
     Only `pts_ndc` carries gradients (the reference detaches all
     per-point info and only the screen-space transform is
     differentiable, rasterizer.py:558-563,618).
+
+    `spacing`: optional precomputed `splat_spacing` h_k (B, P) or
+    (1, P) broadcastable — skips the per-call kNN for the isotropic /
+    global Vrk paths (the anisotropic path needs the neighbors
+    themselves and always recomputes).
     """
     s = settings
     b, p, _ = points.shape
@@ -163,13 +191,18 @@ def compute_splat_params(points: jax.Array, normals: jax.Array, mask: jax.Array,
 
     # --- Vrk: h_k from knn spacing (rasterizer.py:344-400); the
     # reference queries K=7 INCLUDING self -> 6 true neighbors
-    res = knn_points(points_d, points_d, mask, mask, k=max(s.knn_k - 1, 1),
-                     exclude_self=True)
-    sq = jnp.where(res.mask, res.dists, 0.0)
-    h_k = 0.5 * jnp.max(sq, axis=-1)                          # (B, P)
-    # too-few-neighbor clouds: sq_dist=1e-3 -> h_k=5e-4 (reference :377-385)
-    enough = jnp.sum(mask.astype(jnp.int32), axis=-1, keepdims=True) >= s.knn_k
-    h_k = jnp.where(enough, h_k, 5e-4)
+    need_knn = spacing is None or not (s.Vrk_isotropic or s.Vrk_invariant)
+    if need_knn:
+        res = knn_points(points_d, points_d, mask, mask,
+                         k=max(s.knn_k - 1, 1), exclude_self=True)
+    if spacing is None:
+        sq = jnp.where(res.mask, res.dists, 0.0)
+        h_k = 0.5 * jnp.max(sq, axis=-1)                      # (B, P)
+        enough = jnp.sum(mask.astype(jnp.int32), axis=-1,
+                         keepdims=True) >= s.knn_k
+        h_k = jnp.where(enough, h_k, 5e-4)
+    else:
+        h_k = jnp.broadcast_to(sg(spacing), (b, p))
     if s.Vrk_invariant:
         denom = jnp.maximum(jnp.sum(rmask, axis=-1, keepdims=True), 1)
         h_k = jnp.sum(jnp.where(rmask, h_k, 0.0), axis=-1, keepdims=True) / denom

@@ -34,12 +34,14 @@ def render_pointcloud(cloud: PointCloud, camera: PerspectiveCamera,
                       settings: RasterizationSettings,
                       features: Optional[jax.Array] = None,
                       normalize_weights: bool = True,
-                      cutoff_scale=None) -> RenderOutput:
+                      cutoff_scale=None,
+                      spacing: Optional[jax.Array] = None) -> RenderOutput:
     """Full splat-render pipeline (renderer.py:36-82).
 
     Args:
       cloud: points+normals(+features). `features[..., :3]` are RGB.
       features: optional override for cloud.features.
+      spacing: optional cached `splat_spacing` h_k (see rasterizer).
     """
     if features is None:
         features = cloud.features
@@ -48,7 +50,8 @@ def render_pointcloud(cloud: PointCloud, camera: PerspectiveCamera,
 
     params = compute_splat_params(cloud.points, cloud.normals, cloud.mask,
                                   camera, settings,
-                                  cutoff_scale=cutoff_scale)
+                                  cutoff_scale=cutoff_scale,
+                                  spacing=spacing)
     frags = rasterize_splats(params.pts_ndc, params.ellipse, params.radii,
                              params.cutoff, params.mask, settings)
 

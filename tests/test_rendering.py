@@ -99,6 +99,24 @@ class TestSplatParams:
         r = np.asarray(p.radii)[np.asarray(p.mask)]
         assert (r > 0).all()
 
+    def test_cached_spacing_matches_fresh(self):
+        """compute_splat_params(spacing=splat_spacing(...)) must be
+        bit-identical to the in-call kNN path (the cache is the same
+        h_k, hoisted so the ~11 ms kNN runs once per point-set update,
+        not once per render)."""
+        from isopoints_tpu.rendering.rasterizer import splat_spacing
+
+        cloud = sphere_cloud()
+        cam = camera_at()
+        s = RasterizationSettings(image_size=64)
+        fresh = compute_splat_params(cloud.points, cloud.normals,
+                                     cloud.mask, cam, s)
+        h_k = splat_spacing(cloud.points, cloud.mask, s)
+        cached = compute_splat_params(cloud.points, cloud.normals,
+                                      cloud.mask, cam, s, spacing=h_k)
+        for a, b in zip(fresh, cached):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_ndc_gradient_flows(self):
         cloud = sphere_cloud(64)
         cam = camera_at()
