@@ -288,9 +288,13 @@ def main():
     R, T = look_at_view_transform([2.5], [0.0], [0.0])
     cam512 = PerspectiveCamera.create(R=R, T=T, focal_length=2.0)
     # Pallas fine stage wins at this frame scale (pallas_splat.py
-    # header: 63 vs 107 ms/frame fwd at 512px/24k splats)
+    # header: 63 vs 107 ms/frame fwd at 512px/24k splats). Strip cap
+    # sized to measured occupancy on THIS workload (max 1021 of 1280,
+    # 25% headroom) — halves the per-tile top_k input; the zero-
+    # overflow assert below fails loudly if occupancy ever outgrows it.
     rset = RasterizationSettings(image_size=img_size,
-                                 use_pallas=jax.default_backend() == "tpu")
+                                 use_pallas=jax.default_backend() == "tpu",
+                                 max_points_per_strip=1280)
 
     SPLAT_REP = 3
 

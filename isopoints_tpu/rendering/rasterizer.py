@@ -295,7 +295,13 @@ def _tile_candidates(px, py, z, rx, ry, valid, cy, cx, half, m,
     tile row. `overflow` counts candidates DROPPED by the static
     strip/tile capacities — a nonzero count means back splats were
     silently culled (usually harmless occlusion, but it must be
-    observable; bench.py asserts zero)."""
+    observable; bench.py asserts zero).
+
+    Selection stays `top_k` (full sort): the O(P) cumsum+scatter
+    compaction alternative was MEASURED SLOWER (candidates stage
+    6.5 -> 20.6 ms at 24.5k splats/512px — TPU scatters cost ~9 ms per
+    1.3M rows and the strip+tile compactions need 2.8M); shrink the
+    caps against measured occupancy instead."""
     if strip_cap and px.shape[0] > strip_cap:
         strip = (jnp.abs(py - cy) <= (ry + half)) & valid     # (P,)
         strip_ovf = jnp.maximum(
@@ -391,8 +397,10 @@ def _rasterize_one(pts, ellipse, radii, cutoff, valid,
     safe = jnp.where(idx >= 0, idx, pts.shape[0])
     vis = jnp.zeros((pts.shape[0],), bool).at[safe.reshape(-1)].set(
         True, mode="drop")
+    # no tiled residuals: the XLA path's backward uses the fused
+    # (S²K,)->(P,) zbuf scatter (shape sentinel keeps vmap happy)
     return (idx, zbuf.reshape(S, S, K), qv.reshape(S, S, K),
-            occ.reshape(S, S), vis, ovf.sum())
+            occ.reshape(S, S), vis, ovf.sum(), None)
 
 
 def _rasterize_one_pallas(pts, ellipse, radii, cutoff, valid, xs, half,
@@ -426,37 +434,27 @@ def _rasterize_one_pallas(pts, ellipse, radii, cutoff, valid, xs, half,
                        ellipse[:, 2], rx, ry, cutoff], axis=-1)  # (P, 9)
     att = table[cand_idx]                                # (nt², M, 9)
     g = lambda j: att[..., j]
-    idx, zbuf, qv, occ = rasterize_fine_pallas(
+    idx, zbuf, qv, occ, used, slots = rasterize_fine_pallas(
         g(0), g(1), g(2), g(3), g(4),
         g(5), g(6), g(7), g(8), cand_ok, cand_idx,
         T=T, K=K, S=S, nt=nt,
         depth_merging_threshold=s.depth_merging_threshold,
         interpret=jax.default_backend() != "tpu")
 
-    # visibility at candidate level: used(tile, m) = candidate m's
-    # global id appears in the tile's fragment map. A chunked
-    # compare+any (fuses into one reduce) plus a 262k-element scatter
-    # beats the (S²K,)→(P,) bool scatter on the untiled map ~3x
+    # visibility at candidate level: the kernel emits per-candidate
+    # `used` flags (selected in any pixel's K picks) for free — only
+    # the 262k-element scatter back to point ids remains (re-deriving
+    # used from the idx map costs an (n_tiles·T²K·M) compare, ~3 ms)
     p_cap = pts.shape[0]
-    n_tiles = nt * nt
-    cb = 64 if n_tiles % 64 == 0 else 1
-    idx_flat = idx.reshape(n_tiles // cb, cb, T * T * K)
-    cand_cb = cand_idx.reshape(n_tiles // cb, cb, M)
-
-    def used_chunk(args):
-        it, ci = args                        # (cb, T²K), (cb, M)
-        eq = (it[:, :, None] == ci[:, None, :]) & (it[:, :, None] >= 0)
-        return jnp.any(eq, axis=1)           # (cb, M)
-
-    used = jax.lax.map(used_chunk, (idx_flat, cand_cb)).reshape(-1)
-    flat_id = jnp.where(used, cand_idx.reshape(-1), p_cap)
+    flat_id = jnp.where(used.reshape(-1), cand_idx.reshape(-1), p_cap)
     vis = jnp.zeros((p_cap,), bool).at[flat_id].set(True, mode="drop")
 
     def untile(a, ch):
         return a.reshape(nt, nt, T, T, ch).transpose(0, 2, 1, 3, 4) \
             .reshape(S, S, ch)
     return (untile(idx, K), untile(zbuf, K), untile(qv, K),
-            untile(occ[..., None], 1)[..., 0], vis, overflow)
+            untile(occ[..., None], 1)[..., 0], vis, overflow,
+            (slots, cand_idx))
 
 
 def _occ_backward_one(pts, radii, visible, grad_occ,
@@ -553,9 +551,11 @@ def _occ_backward_one(pts, radii, visible, grad_occ,
 
 def _rasterize_fwd_impl(pts_ndc, ellipse, radii, cutoff, mask, settings):
     f = jax.vmap(partial(_rasterize_one, settings=settings))
-    idx, zbuf, qv, occ, vis, ovf = f(pts_ndc, ellipse, radii, cutoff, mask)
-    return Fragments(idx=idx, zbuf=zbuf, qvalue=qv, occupancy=occ,
-                     visibility=vis, tile_overflow=ovf)
+    idx, zbuf, qv, occ, vis, ovf, extras = f(pts_ndc, ellipse, radii,
+                                             cutoff, mask)
+    frags = Fragments(idx=idx, zbuf=zbuf, qvalue=qv, occupancy=occ,
+                      visibility=vis, tile_overflow=ovf)
+    return frags, extras
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -568,35 +568,71 @@ def rasterize_splats(pts_ndc, ellipse, radii, cutoff, mask,
     are discarded (parity: rasterizer.py:784-785 — color gradients flow
     through the compositor weights instead).
     """
-    return _rasterize_fwd_impl(pts_ndc, ellipse, radii, cutoff, mask, settings)
+    return _rasterize_fwd_impl(pts_ndc, ellipse, radii, cutoff, mask,
+                               settings)[0]
 
 
 def _rasterize_fwd(pts_ndc, ellipse, radii, cutoff, mask, settings):
-    frags = _rasterize_fwd_impl(pts_ndc, ellipse, radii, cutoff, mask, settings)
-    res = (pts_ndc, radii, mask, frags.idx)
+    frags, extras = _rasterize_fwd_impl(pts_ndc, ellipse, radii, cutoff,
+                                        mask, settings)
+    res = (pts_ndc, radii, mask, frags.idx, frags.visibility, extras)
     return frags, res
 
 
 def _rasterize_bwd(settings, res, g: Fragments):
     import numpy as np
 
-    pts_ndc, radii, mask, idx = res
+    pts_ndc, radii, mask, idx, fwd_vis, extras = res
     b, p, _ = pts_ndc.shape
 
-    # ONE fused scatter builds both the zbuf gradient (ZbufBackwardKernel,
-    # rasterize_points.cu:823-846) and the per-point visibility count
-    # (rasterizer.py:850-863): two separate (S²K,)→(P,) scatters cost
-    # ~11 ms EACH at 512px/K=5 — fused 2-wide rows cost one pass
-    def zb_vis(one_idx, one_gz):
-        flat_i = one_idx.reshape(-1)
-        ok = flat_i >= 0
-        vals = jnp.stack([jnp.where(ok, one_gz.reshape(-1), 0.0),
-                          ok.astype(pts_ndc.dtype)], axis=-1)  # (S²K, 2)
-        acc = jnp.zeros((p, 2), pts_ndc.dtype).at[
-            jnp.where(ok, flat_i, p)].add(vals, mode="drop")
-        return acc[:, 0], acc[:, 1] > 0
+    if extras is not None:
+        # tiled path: the fine kernel saved LOCAL candidate slots —
+        # reduce the zbuf cotangent at TILE level ((n_tiles, M) rows)
+        # and scatter once per candidate instead of once per fragment
+        # (the untiled (S²K,)->(P,) scatter costs ~9-11 ms at 512px);
+        # per-point visibility comes from the forward's used flags
+        from isopoints_tpu.rendering.pallas_splat import (
+            zbuf_backward_tile_pallas,
+        )
+        slots, cand_idx = extras
+        S = settings.image_size
+        T = settings.tile_size
+        K = settings.points_per_pixel
+        nt = S // T
 
-    gz, visible = jax.vmap(zb_vis)(idx, g.zbuf)
+        def tile_gz(one_gz):                       # (S, S, K) -> tiles
+            return one_gz.reshape(nt, T, nt, T, K).transpose(
+                0, 2, 1, 3, 4).reshape(nt * nt, T * T, K)
+
+        M = cand_idx.shape[-1]
+        gz_cand = jax.vmap(lambda sl, gz_img: zbuf_backward_tile_pallas(
+            sl, tile_gz(gz_img), M=M,
+            interpret=jax.default_backend() != "tpu"))(
+                slots, g.zbuf)                      # (B, n_tiles, M)
+
+        def scatter_cand(gc, ci):
+            flat = ci.reshape(-1)
+            return jnp.zeros((p,), pts_ndc.dtype).at[flat].add(
+                gc.reshape(-1), mode="drop")
+
+        gz = jax.vmap(scatter_cand)(gz_cand, cand_idx)
+        visible = fwd_vis
+    else:
+        # ONE fused scatter builds both the zbuf gradient
+        # (ZbufBackwardKernel, rasterize_points.cu:823-846) and the
+        # per-point visibility count (rasterizer.py:850-863): two
+        # separate (S²K,)→(P,) scatters cost ~11 ms EACH at 512px/K=5 —
+        # fused 2-wide rows cost one pass
+        def zb_vis(one_idx, one_gz):
+            flat_i = one_idx.reshape(-1)
+            ok = flat_i >= 0
+            vals = jnp.stack([jnp.where(ok, one_gz.reshape(-1), 0.0),
+                              ok.astype(pts_ndc.dtype)], axis=-1)  # (S²K, 2)
+            acc = jnp.zeros((p, 2), pts_ndc.dtype).at[
+                jnp.where(ok, flat_i, p)].add(vals, mode="drop")
+            return acc[:, 0], acc[:, 1] > 0
+
+        gz, visible = jax.vmap(zb_vis)(idx, g.zbuf)
 
     use_pallas_bwd = settings.use_pallas_backward
     if use_pallas_bwd is None:

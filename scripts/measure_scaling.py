@@ -113,6 +113,15 @@ def main():
     ap.add_argument("--cpu-devices", type=int, default=0,
                     help="force an N-device virtual CPU mesh")
     ap.add_argument("--rays-per-device", type=int, default=2048)
+    ap.add_argument("--total-rays", type=int, default=0,
+                    help="constant-total-work mode: hold the TOTAL ray "
+                         "budget fixed across mesh sizes. On a virtual "
+                         "CPU mesh (devices share host cores) weak "
+                         "scaling is compute-contended and meaningless; "
+                         "with constant total work a perfect sharded "
+                         "program matches the 1-device wall time, so "
+                         "t(1)/t(N) isolates partition+collective "
+                         "overhead — the honest virtual-mesh signal.")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--mesh-sizes", type=int, nargs="*", default=None)
     args = ap.parse_args()
@@ -123,17 +132,25 @@ def main():
     setup = build()
     base = None
     for n in sizes:
-        rays_per_s, dt = measure(n, args.rays_per_device, args.iters, *setup)
+        per_dev = (args.total_rays // n if args.total_rays
+                   else args.rays_per_device)
+        rays_per_s, dt = measure(n, per_dev, args.iters, *setup)
         if n == 1:
             base = rays_per_s
-        eff = rays_per_s / (n * base) if base else float("nan")
+        if args.total_rays:
+            # constant total work: perfect = same throughput as 1 device
+            eff = rays_per_s / base if base else float("nan")
+            key = "partition_overhead_efficiency"
+        else:
+            eff = rays_per_s / (n * base) if base else float("nan")
+            key = "weak_scaling_efficiency"
         print(json.dumps({
             "backend": jax.default_backend(),
             "n_devices": n,
-            "rays_per_device": args.rays_per_device,
+            "rays_per_device": per_dev,
             "total_rays_per_s": round(rays_per_s, 1),
             "step_ms": round(dt * 1e3, 2),
-            "weak_scaling_efficiency": round(eff, 4),
+            key: round(eff, 4),
         }))
 
 
