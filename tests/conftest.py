@@ -16,6 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the E2E tests are dominated by CPU jit
+# compiles of the trainer/tracer while_loops — cache them across test
+# sessions (VERDICT r2 weak item 6: suite wall time)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("ISOPOINTS_TEST_JAXCACHE",
+                                 "/tmp/jaxcache-tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
