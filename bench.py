@@ -142,7 +142,11 @@ def main():
                            sampler_coarse_margin=2e-3,
                            coarse_stall_on_cross=True,
                            fused_backstep=True,
-                           trace_gate_end_front=True)
+                           trace_gate_end_front=True,
+                           # sweep+bracket+secant inside the fused MLP
+                           # kernel (ops/pallas_sampler.py) — nothing of
+                           # size (rays × n_steps) through HBM
+                           sampler_in_kernel=True)
 
     @jax.jit
     def trace(k):

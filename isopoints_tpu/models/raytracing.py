@@ -287,6 +287,20 @@ class RayTracingConfig:
     sampler_presweep: int = 0
     sampler_presweep_lipschitz: float = 2.0
     sampler_dense_fraction: float = 0.5
+    # in-kernel dense sampler: when sdf_fn is a fused Pallas MLP
+    # (carries `.fused_ray_sampler`, ops/pallas_sampler.py), march the
+    # n_steps sweep + bracket re-validation + secant INSIDE the kernel —
+    # per-ray state stays in VMEM and nothing of size (rays × n_steps)
+    # is ever materialized (the XLA sweep moves ~29 MB of proposal
+    # points through HBM per 24.5k-ray frame plus two argmin/gather
+    # rounds). Output-equivalent to the XLA path (equivalence-tested).
+    # REQUIREMENT: with sampler_coarse=True, sdf_fn_coarse must be the
+    # 'bf16' fused variant of the SAME weights as sdf_fn (what
+    # ImplicitModel.trace_sdf_fn_coarse and bench.py construct) — the
+    # in-kernel coarse sweep reads the bf16-hi half of sdf_fn's own
+    # weight pack, which is bit-identical to that variant. Plain
+    # (non-fused) sdf_fns fall back to the XLA path silently.
+    sampler_in_kernel: bool = False
     # gate the end (far-side) front on the start front: once a ray's
     # START front is finished (converged or crossed), stop marching its
     # END front. acc_e is read downstream only as (a) the sampler's
@@ -746,43 +760,57 @@ def _dense_ray_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
         return _presweep_sampler(sdf_fn, key, cam_loc, ray_dirs,
                                  object_mask, t_lo, t_hi, sampler_mask,
                                  cfg, training, sdf_fn_coarse)
-    steps = jnp.linspace(0.0, 1.0, n)
-    ts = t_lo[..., None] + steps * (t_hi - t_lo)[..., None]        # (B,N,S)
-    pts = cam_loc[..., None, :] + ts[..., None] * ray_dirs[..., None, :]
-    sdf_val = _eval_sdf_chunked(fn_dense, pts, cfg.sampler_chunk_rays)  # (B,N,S)
-
-    # first sign change: sign(f_i)·countdown argmin (reference :1061-1063).
-    # Under a coarse sweep, a hysteresis margin keeps near-zero noise
-    # from minting false first crossings (RayTracingConfig.
-    # sampler_coarse_margin) — the pick requires f < −margin.
+    # hysteresis margin for the coarse first-sign-change pick: keeps
+    # near-zero noise from minting false first crossings
+    # (RayTracingConfig.sampler_coarse_margin) — the pick requires
+    # f < −margin.
     margin = cfg.sampler_coarse_margin if use_coarse else 0.0
-    countdown = jnp.arange(n, 0, -1, dtype=sdf_val.dtype)
-    costs = jnp.sign(sdf_val + margin) * countdown
-    idx = jnp.argmin(costs, axis=-1)                                # (B,N)
-    has_sign_change = jnp.take_along_axis(costs, idx[..., None], axis=-1)[..., 0] < 0
+    fused = getattr(sdf_fn, "fused_ray_sampler", None)
+    if cfg.sampler_in_kernel and fused is not None:
+        # sweep + bracket re-validation + secant in ONE Pallas kernel
+        # (ops/pallas_sampler.py); only the (B, N)-sized hit/fallback
+        # selection below stays in XLA. See RayTracingConfig.
+        # sampler_in_kernel for the sdf_fn_coarse contract.
+        t_pick, f_pick, t_min, z_secant = fused(
+            cam_loc, ray_dirs, t_lo, t_hi, jnp.linspace(0.0, 1.0, n),
+            n_secant=cfg.n_secant_steps, margin=margin,
+            coarse_sweep=use_coarse)
+    else:
+        steps = jnp.linspace(0.0, 1.0, n)
+        ts = t_lo[..., None] + steps * (t_hi - t_lo)[..., None]    # (B,N,S)
+        pts = cam_loc[..., None, :] + ts[..., None] * ray_dirs[..., None, :]
+        sdf_val = _eval_sdf_chunked(fn_dense, pts,
+                                    cfg.sampler_chunk_rays)        # (B,N,S)
 
-    pick = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
-    t_pick = pick(ts, idx)
-    f_pick = pick(sdf_val, idx)
+        # first sign change: sign(f_i)·countdown argmin (reference
+        # :1061-1063)
+        countdown = jnp.arange(n, 0, -1, dtype=sdf_val.dtype)
+        costs = jnp.sign(sdf_val + margin) * countdown
+        idx = jnp.argmin(costs, axis=-1)                           # (B,N)
 
-    # P_out pixels: minimal-SDF point on the ray
-    idx_min = jnp.argmin(sdf_val, axis=-1)
-    t_min = pick(ts, idx_min)
+        pick = lambda a, i: jnp.take_along_axis(a, i[..., None],
+                                                axis=-1)[..., 0]
+        t_pick = pick(ts, idx)
+        f_pick = pick(sdf_val, idx)
 
-    # secant interval: [idx-1, idx]
-    idx_lo = jnp.maximum(idx - 1, 0)
-    z_low = pick(ts, idx_lo)
-    f_low = pick(sdf_val, idx_lo)
-    if use_coarse:
-        # fine re-validation of the bracket: the hit decision and the
-        # secant refinement must not rest on coarse values
-        t2 = jnp.stack([z_low, t_pick], axis=-1)                  # (B,N,2)
-        p2 = cam_loc[..., None, :] + t2[..., None] * ray_dirs[..., None, :]
-        f2 = sdf_fn(p2)
-        f_low, f_pick = f2[..., 0], f2[..., 1]
+        # P_out pixels: minimal-SDF point on the ray
+        idx_min = jnp.argmin(sdf_val, axis=-1)
+        t_min = pick(ts, idx_min)
+
+        # secant interval: [idx-1, idx]
+        idx_lo = jnp.maximum(idx - 1, 0)
+        z_low = pick(ts, idx_lo)
+        f_low = pick(sdf_val, idx_lo)
+        if use_coarse:
+            # fine re-validation of the bracket: the hit decision and
+            # the secant refinement must not rest on coarse values
+            t2 = jnp.stack([z_low, t_pick], axis=-1)               # (B,N,2)
+            p2 = cam_loc[..., None, :] + t2[..., None] * ray_dirs[..., None, :]
+            f2 = sdf_fn(p2)
+            f_low, f_pick = f2[..., 0], f2[..., 1]
+        z_secant = _secant_scan(sdf_fn, f_low, f_pick, z_low, t_pick,
+                                cam_loc, ray_dirs, cfg.n_secant_steps)
     net_surface = f_pick < 0
-    z_secant = _secant_scan(sdf_fn, f_low, f_pick, z_low, t_pick,
-                            cam_loc, ray_dirs, cfg.n_secant_steps)
 
     secant_ok = net_surface & (object_mask if training else jnp.ones_like(net_surface))
     p_out = ~(object_mask & net_surface)
@@ -856,10 +884,18 @@ def _presweep_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
 
 
 def _minimal_sdf_points(sdf_fn: SDFFn, key, cam_loc, ray_dirs, t_lo, t_hi,
-                        n_steps: int, chunk_rays: int = 0):
+                        n_steps: int, chunk_rays: int = 0,
+                        in_kernel: bool = False):
     """Random-stratified min-SDF point per ray
-    (levelset_sampling.py:1135-1168)."""
+    (levelset_sampling.py:1135-1168). With `in_kernel` and a fused
+    sdf_fn, the sweep+argmin runs inside the Pallas sampler kernel
+    (the step fractions are just the random u instead of a linspace)."""
     u = jax.random.uniform(key, (n_steps,))
+    fused = getattr(sdf_fn, "fused_ray_sampler", None)
+    if in_kernel and fused is not None:
+        _, _, t_min, _ = fused(cam_loc, ray_dirs, t_lo, t_hi, u,
+                               n_secant=0, margin=0.0, coarse_sweep=False)
+        return cam_loc + t_min[..., None] * ray_dirs, t_min
     ts = t_lo[..., None] + u * (t_hi - t_lo)[..., None]
     pts = cam_loc[..., None, :] + ts[..., None] * ray_dirs[..., None, :]
     sdf_val = _eval_sdf_chunked(sdf_fn, pts, chunk_rays)
@@ -953,7 +989,8 @@ def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
         t_lo = jnp.where(network_object_mask & out_mask, acc_s, t_near)
         m_pts, m_t = _minimal_sdf_points(sdf_fn, k2, cam_loc, ray_dirs,
                                          t_lo, t_far, cfg.n_steps,
-                                         cfg.sampler_chunk_rays)
+                                         cfg.sampler_chunk_rays,
+                                         in_kernel=cfg.sampler_in_kernel)
         dists = jnp.where(fix, m_t, dists)
         points = cam_loc + dists[..., None] * ray_dirs
 

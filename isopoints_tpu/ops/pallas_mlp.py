@@ -150,6 +150,55 @@ def _resolve_mode(bf16: Optional[bool], precision: Optional[str]) -> str:
     return "f32x3"
 
 
+def _make_igr_forward(n_layers: int, skip_in: Tuple[int, ...],
+                      final_tanh: bool, mode: str, stride: int):
+    """Value-only IGR forward: x (T, D) -> (T, out) against packed wrefs.
+
+    Same stack as _igr_kernel's value path, reusable inside OTHER
+    kernels (the fused ray sampler marches this per step). `stride` is
+    the PACKING stride, which may exceed the mode's needs: a 'bf16'
+    forward over f32x3-packed refs reads only the hi part — exactly
+    the trace precision schedule's coarse sweep."""
+    beta = 100.0
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    mm = _make_mm(mode)
+
+    def forward(x, wrefs):
+        layer = lambda l: (wrefs[stride * l:stride * (l + 1) - 1],
+                           wrefs[stride * (l + 1) - 1])
+        h = x
+        for l in range(n_layers):
+            if l in skip_in:
+                h = jnp.concatenate([h, x], axis=-1) * inv_sqrt2
+            wref, b = layer(l)
+            z = mm(h, wref) + b[:]
+            h = jax.nn.softplus(beta * z) / beta if l < n_layers - 1 else z
+        return jnp.tanh(h) if final_tanh else h
+
+    return forward
+
+
+def _make_siren_forward(n_hidden: int, first_omega: float,
+                        hidden_omega: float, mode: str, stride: int):
+    """Value-only SIREN forward: x (T, 3) -> (T, out). See
+    _make_igr_forward for the stride-vs-mode contract."""
+    mm = _make_mm(mode)
+    sin_f = jnp.sin if mode == "highest" else _sin_fast
+
+    def forward(x, wrefs):
+        layer = lambda l: (wrefs[stride * l:stride * (l + 1) - 1],
+                           wrefs[stride * (l + 1) - 1])
+        wref0, b0 = layer(0)
+        h = sin_f(first_omega * (mm(x, wref0) + b0[:]))
+        for l in range(n_hidden):
+            wref, b = layer(1 + l)
+            h = sin_f(hidden_omega * (mm(h, wref) + b[:]))
+        wref, b = layer(1 + n_hidden)
+        return mm(h, wref) + b[:]
+
+    return forward
+
+
 # ---------------------------------------------------------------------------
 # SIREN variant
 # ---------------------------------------------------------------------------
@@ -321,6 +370,10 @@ def make_fused_siren_sdf(field: SirenField, params: Dict,
 
     # let fields.sdf_and_grad dispatch to the fused gradient path
     sdf.sdf_and_grad = sdf_and_grad
+    # in-kernel dense ray sampler (RayTracingConfig.sampler_in_kernel)
+    from isopoints_tpu.ops import pallas_sampler
+    sdf.fused_ray_sampler = pallas_sampler.make_sampler(
+        "siren", field, mats, stride, mode, interpret)
     return sdf, sdf_and_grad
 
 
@@ -499,4 +552,7 @@ def make_fused_igr_sdf(field: SDFField, params: Dict,
         return v.reshape(shp), g.reshape(*shp, 3)
 
     sdf.sdf_and_grad = sdf_and_grad
+    from isopoints_tpu.ops import pallas_sampler
+    sdf.fused_ray_sampler = pallas_sampler.make_sampler(
+        "igr", field, mats, stride, mode, interpret)
     return sdf, sdf_and_grad
