@@ -13,6 +13,18 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# entry subprocesses inherit the parent env, and in a TPU-attached
+# environment would compile on (and contend for) the real chip — CI
+# must stay CPU-only and deterministic like the in-process tests
+# (conftest.py forces jax_platforms=cpu, but that does not reach
+# subprocesses)
+_CPU_ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
+
+
+def _cpu_run(cmd, **kw):
+    kw.setdefault("env", _CPU_ENV)
+    return subprocess.run(cmd, **kw)
+
 
 class TestEvaluateEntry:
     def test_analytic_gt_csv(self, tmp_path):
@@ -25,7 +37,7 @@ class TestEvaluateEntry:
         verts, faces = extract_mesh(sphere_sdf(0.5), resolution=48)
         save_ply(str(tmp_path / "final.ply"), verts, faces=faces)
 
-        r = subprocess.run(
+        r = _cpu_run(
             [sys.executable, os.path.join(REPO, "evaluate.py"),
              str(tmp_path), "--gt-sdf", "sphere", "--n-samples", "2000"],
             capture_output=True, text=True, timeout=600)
@@ -49,7 +61,7 @@ class TestScriptEntries:
         pred = gt + rng.normal(scale=1e-3, size=gt.shape).astype(np.float32)
         save_ply(str(tmp_path / "gt.ply"), gt)
         save_ply(str(tmp_path / "pred.ply"), pred)
-        r = subprocess.run(
+        r = _cpu_run(
             [sys.executable, os.path.join(REPO, "scripts",
                                           "evaluate_pointclouds.py"),
              str(tmp_path / "pred.ply"), str(tmp_path / "gt.ply")],
@@ -61,7 +73,7 @@ class TestScriptEntries:
         """Analytic-SDF dataset generation loads back through
         MVRDataset with working cameras."""
         out = str(tmp_path / "data")
-        r = subprocess.run(
+        r = _cpu_run(
             [sys.executable, os.path.join(REPO, "scripts",
                                           "create_mvr_data.py"),
              "sphere", out, "--n-views", "3", "--image-size", "32",
@@ -79,7 +91,7 @@ class TestScriptEntries:
         assert 0.05 < cov < 0.6
 
     def test_measure_scaling_json_lines(self):
-        r = subprocess.run(
+        r = _cpu_run(
             [sys.executable, os.path.join(REPO, "scripts",
                                           "measure_scaling.py"),
              "--cpu-devices", "2", "--rays-per-device", "64",
