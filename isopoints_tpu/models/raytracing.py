@@ -287,6 +287,16 @@ class RayTracingConfig:
     sampler_presweep: int = 0
     sampler_presweep_lipschitz: float = 2.0
     sampler_dense_fraction: float = 0.5
+    # in-kernel marching for the compacted FINE fused-backstep stages:
+    # when sdf_fn is a fused Pallas MLP (carries `.fused_trace_stepper`,
+    # ops/pallas_trace.py), each stage's while_loop is replaced by one
+    # kernel marching the stage's fixed iteration count with per-ray
+    # state in VMEM — bit-identical per-iteration math, and a fixed
+    # count equals the while_loop because finished rays take zero-
+    # length moves (measured: the staged fine marching is ~72 of
+    # 128 ms at 262k rays, mostly per-iteration XLA glue). Requires
+    # fused_backstep; coarse stages and plain sdf_fns fall back.
+    trace_in_kernel: bool = False
     # in-kernel dense sampler: when sdf_fn is a fused Pallas MLP
     # (carries `.fused_ray_sampler`, ops/pallas_sampler.py), march the
     # n_steps sweep + bracket re-validation + secant INSIDE the kernel —
@@ -700,13 +710,20 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
         # later stages run fine
         stage_coarse = p2_coarse or (
             sdf_fn_coarse is not None and nxt <= cfg.coarse_trace_iters)
-        run_c, _ = make_loop(cam_g, dirs_g, a, nxt,
-                             fn=sdf_fn_coarse if stage_coarse else None)
-        c_state = run_c((g2(st[0]), g2(st[1]), g2(st[2]), g2(st[3]),
-                         un_s_in, un_e_in,
-                         g2(st[6]), g2(st[7]), g2(st[8]), g2(st[9]),
-                         jnp.int32(a)))
-        st = c_state[:10]
+        stepper = getattr(sdf_fn, "fused_trace_stepper", None)
+        state_in = (g2(st[0]), g2(st[1]), g2(st[2]), g2(st[3]),
+                    un_s_in, un_e_in,
+                    g2(st[6]), g2(st[7]), g2(st[8]), g2(st[9]))
+        if (cfg.trace_in_kernel and cfg.fused_backstep
+                and not stage_coarse and stepper is not None):
+            st = stepper(cam_g, dirs_g, state_in, nxt - a,
+                         thr, cfg.line_search_step, cfg.line_step_iters,
+                         cfg.trace_gate_end_front)
+        else:
+            run_c, _ = make_loop(cam_g, dirs_g, a, nxt,
+                                 fn=sdf_fn_coarse if stage_coarse else None)
+            c_state = run_c(state_in + (jnp.int32(a),))
+            st = c_state[:10]
         if stage_coarse:
             # fine re-validation of this stage's fronts BEFORE the next
             # compaction selects on them: no ray may stay converged (or

@@ -371,8 +371,11 @@ def make_fused_siren_sdf(field: SirenField, params: Dict,
     # let fields.sdf_and_grad dispatch to the fused gradient path
     sdf.sdf_and_grad = sdf_and_grad
     # in-kernel dense ray sampler (RayTracingConfig.sampler_in_kernel)
-    from isopoints_tpu.ops import pallas_sampler
+    from isopoints_tpu.ops import pallas_sampler, pallas_trace
     sdf.fused_ray_sampler = pallas_sampler.make_sampler(
+        "siren", field, mats, stride, mode, interpret)
+    # in-kernel fused-backstep marching (RayTracingConfig.trace_in_kernel)
+    sdf.fused_trace_stepper = pallas_trace.make_trace_stepper(
         "siren", field, mats, stride, mode, interpret)
     return sdf, sdf_and_grad
 
@@ -552,7 +555,9 @@ def make_fused_igr_sdf(field: SDFField, params: Dict,
         return v.reshape(shp), g.reshape(*shp, 3)
 
     sdf.sdf_and_grad = sdf_and_grad
-    from isopoints_tpu.ops import pallas_sampler
+    from isopoints_tpu.ops import pallas_sampler, pallas_trace
     sdf.fused_ray_sampler = pallas_sampler.make_sampler(
+        "igr", field, mats, stride, mode, interpret)
+    sdf.fused_trace_stepper = pallas_trace.make_trace_stepper(
         "igr", field, mats, stride, mode, interpret)
     return sdf, sdf_and_grad

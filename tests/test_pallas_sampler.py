@@ -121,6 +121,75 @@ class TestFusedSamplerIGR:
                                    rtol=1e-5)
 
 
+class TestInKernelTrace:
+    """trace_in_kernel: the compacted fine fused-backstep stages run
+    inside ops/pallas_trace.py with bit-identical per-iteration math —
+    the full bidirectional trace must match the XLA while_loop path."""
+
+    def setup_method(self):
+        self.field = SDFField(hidden_size=64, n_layers=4, num_frequencies=0)
+        self.params = self.field.init(jax.random.key(0))
+        self.sdf, _ = make_fused_igr_sdf(self.field, self.params,
+                                         interpret=True)
+        self.sdf_bf16, _ = make_fused_igr_sdf(self.field, self.params,
+                                              interpret=True,
+                                              precision="bf16")
+
+    @pytest.mark.parametrize("gate", [True, False])
+    def test_staged_trace_equivalence(self, gate):
+        cam, dirs, _, _ = _rays(jax.random.key(20), n=192)
+        obj = jnp.ones(dirs.shape[:-1], bool)
+        base = dict(sphere_tracing_iters=14, n_steps=8, n_secant_steps=2,
+                    coarse_trace_iters=4, sampler_coarse=True,
+                    coarse_stall_on_cross=True, fused_backstep=True,
+                    trace_compact_after=(4, 8),
+                    trace_compact_fraction=(0.8, 0.5),
+                    trace_gate_end_front=gate)
+        r_x = ray_trace(self.sdf, cam, dirs, obj, jax.random.key(21),
+                        RayTracingConfig(**base), training=False,
+                        sdf_fn_coarse=self.sdf_bf16)
+        r_k = ray_trace(self.sdf, cam, dirs, obj, jax.random.key(21),
+                        RayTracingConfig(trace_in_kernel=True, **base),
+                        training=False, sdf_fn_coarse=self.sdf_bf16)
+        np.testing.assert_array_equal(np.asarray(r_k.network_object_mask),
+                                      np.asarray(r_x.network_object_mask))
+        np.testing.assert_array_equal(np.asarray(r_k.sampler_mask),
+                                      np.asarray(r_x.sampler_mask))
+        # not bitwise under CPU interpret: XLA:CPU picks shape-dependent
+        # dot reduction blockings, so the (2T)-row in-kernel eval and
+        # the fused fn's 1024-row tiles round differently (~1e-6/eval);
+        # a near-threshold front may then stop one iteration later —
+        # both stops satisfy |f| <= thr, so dists agree to a few
+        # thresholds.
+        np.testing.assert_allclose(np.asarray(r_k.dists),
+                                   np.asarray(r_x.dists), atol=2e-4)
+
+    def test_mixed_coarse_stage_falls_back(self):
+        # a stage ending inside the coarse phase must keep the XLA
+        # path (stage_coarse) while later stages go in-kernel
+        cam, dirs, _, _ = _rays(jax.random.key(22), n=128)
+        obj = jnp.ones(dirs.shape[:-1], bool)
+        base = dict(sphere_tracing_iters=12, n_steps=8, n_secant_steps=2,
+                    coarse_trace_iters=6, sampler_coarse=True,
+                    coarse_stall_on_cross=True, fused_backstep=True,
+                    trace_compact_after=(3, 6, 9),
+                    trace_compact_fraction=(0.9, 0.7, 0.5),
+                    trace_compact_coarse=False)
+        r_x = ray_trace(self.sdf, cam, dirs, obj, jax.random.key(23),
+                        RayTracingConfig(**base), training=False,
+                        sdf_fn_coarse=self.sdf_bf16)
+        r_k = ray_trace(self.sdf, cam, dirs, obj, jax.random.key(23),
+                        RayTracingConfig(trace_in_kernel=True, **base),
+                        training=False, sdf_fn_coarse=self.sdf_bf16)
+        np.testing.assert_array_equal(np.asarray(r_k.network_object_mask),
+                                      np.asarray(r_x.network_object_mask))
+        # a near-threshold front may stop one iteration later under
+        # ~1e-6 eval roundoff; both stops satisfy |f| <= thr, landing
+        # within a few thresholds of each other
+        np.testing.assert_allclose(np.asarray(r_k.dists),
+                                   np.asarray(r_x.dists), atol=2e-4)
+
+
 class TestFusedSamplerSiren:
     def setup_method(self):
         self.field = SirenField(hidden_size=64, n_layers=2)
