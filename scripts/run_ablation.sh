@@ -1,0 +1,30 @@
+#!/bin/bash
+# Reference-protocol three-way sampling ablation (README.md:60-67 of
+# the reference): implicit-only vs uniform iso-points vs loss-weighted
+# iso-points, EQUAL wall-clock budget each, sequentially (never two
+# TPU processes at once). train_mvr.py exits 3 on --exit-after by
+# design. Usage: scripts/run_ablation.sh [budget_seconds]
+set -u
+BUDGET=${1:-5400}
+cd "$(dirname "$0")/.."
+
+if [ ! -f out/data_compound/data_dict.npz ]; then
+  echo "dataset missing: run scripts/make_ablation_data.py out/data_compound first" >&2
+  exit 1
+fi
+
+for arm in implicit uni lossS; do
+  echo "=== ablation arm: $arm (budget ${BUDGET}s) ==="
+  python train_mvr.py configs/ablation_compound_${arm}.yml \
+    --out-dir out/ablation_${arm} \
+    --max-iters 1000000 --exit-after "$BUDGET" \
+    --validate-every 500 --checkpoint-every 1000 --print-every 100 \
+    --eval-mesh-resolution 128
+  code=$?
+  if [ "$code" != "3" ] && [ "$code" != "0" ]; then
+    echo "arm $arm FAILED with exit $code" >&2
+    exit "$code"
+  fi
+done
+python scripts/summarize_ablation.py out/ablation_implicit \
+  out/ablation_uni out/ablation_lossS --budget "$BUDGET"

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Summarize the three-way sampling ablation into ABLATION.md.
+
+Reads each arm's metrics.jsonl (written by train_mvr.py at
+--validate-every cadence: eval_psnr_full / eval_iou_full /
+eval_chamfer) and emits a final + best table plus sparkline-style
+curve rows. Usage:
+
+  python scripts/summarize_ablation.py out/ablation_implicit \
+      out/ablation_uni out/ablation_lossS --budget 5400
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dirs", nargs="+")
+    ap.add_argument("--budget", type=int, default=0)
+    ap.add_argument("--out", type=str, default="ABLATION.md")
+    args = ap.parse_args()
+
+    from isopoints_tpu.misc.metrics import read_metrics
+
+    rows = []
+    curves = {}
+    for d in args.dirs:
+        name = os.path.basename(d.rstrip("/")).replace("ablation_", "")
+        ms = [m for m in read_metrics(os.path.join(d, "metrics.jsonl"))
+              if "eval_iou_full" in m]
+        if not ms:
+            rows.append((name, None))
+            continue
+        last = ms[-1]
+        best_iou = max(m["eval_iou_full"] for m in ms)
+        best_psnr = max(m["eval_psnr_full"] for m in ms)
+        best_ch = min(m.get("eval_chamfer", float("inf")) for m in ms)
+        rows.append((name, dict(
+            iters=last["it"], psnr=last["eval_psnr_full"],
+            iou=last["eval_iou_full"],
+            chamfer=last.get("eval_chamfer", float("nan")),
+            best_psnr=best_psnr, best_iou=best_iou, best_chamfer=best_ch)))
+        curves[name] = [(m["it"], m["eval_psnr_full"],
+                         m.get("eval_chamfer", float("nan"))) for m in ms]
+
+    lines = [
+        "# ABLATION — sampling with iso-points (reference protocol)",
+        "",
+        "Three-way MVR ablation mirroring the reference's headline "
+        "experiment (`README.md:60-67`, `train_mvr.py --exit-after`): "
+        "baseline implicit (IDR ray-tracing only) vs uniform iso-points "
+        "vs loss-weighted iso-points (hard-example mining), EQUAL "
+        f"wall-clock budget ({args.budget}s each, one TPU v5e chip, "
+        "sequential runs).",
+        "",
+        "Data: 512px x 24 views rendered from the compound CSG mesh "
+        "(`scripts/make_ablation_data.py`; the reference's compressor "
+        "part is not redistributable — this stand-in has the same "
+        "qualitative difficulty: through-hole, concavities, thin "
+        "features). Configs: `configs/ablation_compound_*.yml`. "
+        "Chamfer is point-to-surface-samples (20k GT samples), "
+        "mesh extracted at 128^3 per eval.",
+        "",
+        "| arm | iters reached | final PSNR | final IoU | final chamfer "
+        "| best PSNR | best IoU | best chamfer |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, r in rows:
+        if r is None:
+            lines.append(f"| {name} | (no eval rows) | | | | | | |")
+            continue
+        lines.append(
+            f"| {name} | {r['iters']} | {r['psnr']:.2f} | {r['iou']:.4f} "
+            f"| {r['chamfer']:.5f} | {r['best_psnr']:.2f} "
+            f"| {r['best_iou']:.4f} | {r['best_chamfer']:.5f} |")
+    lines.append("")
+    lines.append("## Curves (it, PSNR_full, chamfer)")
+    lines.append("")
+    for name, c in curves.items():
+        pts = ", ".join(f"({it}, {p:.2f}, {ch:.4f})" for it, p, ch in c)
+        lines.append(f"- **{name}**: {pts}")
+    lines.append("")
+
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out}")
+    for line in lines[6:6 + len(rows) + 2]:
+        print(line)
+
+
+if __name__ == "__main__":
+    main()
