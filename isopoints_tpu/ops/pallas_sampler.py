@@ -41,7 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 from isopoints_tpu.ops import pallas_mlp as _pm
 from isopoints_tpu.utils import eps_denom
 
-_TILE = 1024  # rays per kernel instance
+# rays per kernel instance: 512 keeps the kernel's scoped VMEM well
+# under the 16 MB limit in every context — at 1024 the sweep carry +
+# lane-padded (T, 1) state + the (2T, 256) revalidation activations
+# measured 16.37 MB when compiled inside the sharded train step (the
+# bench-alone build sat just under the line)
+_TILE = 512
 
 
 def _sweep_kernel(fwd_sweep: Callable, fwd_fine: Callable, n_steps: int,

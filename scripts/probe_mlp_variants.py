@@ -149,6 +149,73 @@ def run_batched(field, params, mode="f32x3"):
     return f
 
 
+def igr_value_kcat(field, params):
+    """f32x3 value path with the 3-pass decomposition folded into ONE
+    K-concatenated dot per layer: [a_hi a_hi a_lo] @ [w_hi; w_lo; w_hi]
+    == a_hi@w_hi + a_hi@w_lo + a_lo@w_hi (sum over the K blocks)."""
+    beta = 100.0
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    layers = params["layers"]
+    ws, bs = [], []
+    for lp in layers:
+        if "v" in lp:
+            v, g = lp["v"], lp["g"]
+            w = v * (g / jnp.maximum(
+                jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12))
+        else:
+            w = lp["w"]
+        ws.append(w)
+        bs.append(lp["b"])
+    # pack [w_hi; w_lo; w_hi] stacked along K
+    mats = []
+    for w, b in zip(ws, bs):
+        wt = jnp.asarray(w).T
+        hi, lo = pm._split_hi_lo(wt)
+        mats.append(jnp.concatenate([hi, lo, hi], axis=0))   # (3K, N)
+        mats.append(jnp.asarray(b)[None, :])
+    n_layers = len(ws)
+    skip_in, final_tanh = field.skip_in, field.final_tanh
+
+    def kernel(x_ref, *refs):
+        out_ref = refs[-1]
+        wrefs = refs[:-1]
+        x = x_ref[:]
+        h = x
+
+        def mmk(a, wref):
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            a3 = jnp.concatenate([a_hi, a_hi, a_lo], axis=-1)
+            return jnp.dot(a3, wref[:],
+                           preferred_element_type=jnp.float32)
+
+        for l in range(n_layers):
+            if l in skip_in:
+                h = jnp.concatenate([h, x], axis=-1) * inv_sqrt2
+            z = mmk(h, wrefs[2 * l]) + wrefs[2 * l + 1][:]
+            h = jax.nn.softplus(beta * z) / beta if l < n_layers - 1 else z
+        out_ref[:] = jnp.tanh(h) if final_tanh else h
+
+    w_specs = [pl.BlockSpec(m.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM) for m in mats]
+
+    def f(x):
+        n = x.shape[0]
+        n_pad = pm._round_up(n, _TILE)
+        xp = jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(x)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_pad // _TILE,),
+            in_specs=[pl.BlockSpec((_TILE, 3), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] + w_specs,
+            out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            out_specs=pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=jax.default_backend() != "tpu",
+        )(xp, *mats)
+    return f
+
+
 def main():
     field = SDFField(hidden_size=256, n_layers=4, num_frequencies=0)
     params = field.init(jax.random.key(0))
@@ -169,6 +236,14 @@ def main():
     t = timeit(scan_rep(lambda v: fb(v)), x)
     print(f"value+grad f32x3 (batched-tangents): {t*1e3:7.2f} ms /524k",
           flush=True)
+
+    fk = igr_value_kcat(field, params)
+    t = timeit(scan_rep(lambda v: fk(v)), x)
+    print(f"value f32x3 (kcat single-dot):       {t*1e3:7.2f} ms /524k",
+          flush=True)
+    vk = fk(x[:4096])[:4096, 0]
+    v0 = sdf(x[:4096])
+    print("kcat dv max:", float(jnp.max(jnp.abs(v0 - vk))))
 
     # numeric check vs shipped
     import numpy as np
