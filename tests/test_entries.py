@@ -69,6 +69,7 @@ class TestScriptEntries:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "chamfer" in (r.stdout + r.stderr).lower()
 
+    @pytest.mark.slow
     def test_create_mvr_data_roundtrip(self, tmp_path):
         """Analytic-SDF dataset generation loads back through
         MVRDataset with working cameras."""

@@ -141,6 +141,7 @@ class TestMeshMVRPipeline:
         d = mesh_out["img.depth"][0, ..., 0][inter]
         assert d.min() > 1.4 and d.max() < 2.1
 
+    @pytest.mark.slow
     def test_make_mesh_mvr_roundtrip(self, tmp_path):
         """Full VERDICT item-7 round trip: mesh -> MVR directory ->
         MVRDataset (with dense depth) -> trainer steps."""

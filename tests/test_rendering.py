@@ -393,6 +393,7 @@ class TestPixelGradParity:
         max_rel = np.abs(g - ref).max() / scale
         assert max_rel < 1e-5, f"pixel-grad max|rel err| = {max_rel}"
 
+    @pytest.mark.slow
     def test_occ_backward_patch_path_dense_cluster(self):
         """The patch-gather backward (W < S branch) stays lossless on a
         dense cluster where the former per-tile candidate formulation

@@ -317,6 +317,7 @@ class TestDebugAndResume:
         assert np.isfinite(metrics["loss"]) and resumed.it == 3
 
 
+@pytest.mark.slow
 class TestSaliencySampling:
     def test_lossS_path_accumulates_and_resamples(self):
         """uni_lossS: residuals accumulate on the reference cloud and
@@ -349,6 +350,7 @@ class TestSaliencySampling:
         assert np.isfinite(np.asarray(state.points)).all()
 
 
+@pytest.mark.slow
 class TestFullImageEval:
     def _tiny(self):
         model = CombinedModel(
@@ -457,6 +459,7 @@ class TestDTUMVRPath:
             state, metrics = trainer.train_step(state, img, mask, cam)
             assert np.isfinite(metrics["loss"])
 
+    @pytest.mark.slow
     def test_scale_mat_denormalization_roundtrip(self, tmp_path):
         """VERDICT r2 item 5: a NON-IDENTITY scale_mat scan round-trips
         in world coordinates — the loader recovers the same normalized
