@@ -22,6 +22,8 @@ def main():
     ap.add_argument("dirs", nargs="+")
     ap.add_argument("--budget", type=int, default=0)
     ap.add_argument("--out", type=str, default="ABLATION.md")
+    ap.add_argument("--final-mesh-resolution", type=int, default=192)
+    ap.add_argument("--data-dir", type=str, default="out/data_compound")
     args = ap.parse_args()
 
     from isopoints_tpu.misc.metrics import read_metrics
@@ -46,6 +48,50 @@ def main():
             best_psnr=best_psnr, best_iou=best_iou, best_chamfer=best_ch)))
         curves[name] = [(m["it"], m["eval_psnr_full"],
                          m.get("eval_chamfer", float("nan"))) for m in ms]
+
+    # consistent FINAL evaluation: the in-training chamfer meshes the
+    # raw field (one-stage, all components) — off-camera f<0 islands
+    # contaminate it. Re-evaluate every arm's final checkpoint the same
+    # way: fixed resolution, LARGEST component only.
+    finals = {}
+    gt = None
+    gtp = os.path.join(args.data_dir, "data_dict.npz")
+    if os.path.exists(gtp):
+        import numpy as np
+        gt = np.load(gtp)["points"]
+    if gt is not None:
+        from isopoints_tpu.training.evaluation import evaluate_mesh
+        from isopoints_tpu.utils.meshing import largest_component
+        for d in args.dirs:
+            name = os.path.basename(d.rstrip("/")).replace("ablation_", "")
+            ck = os.path.join(d, "model.npz")
+            cfgp = os.path.join(d, "config.yaml")
+            if not (os.path.exists(ck) and os.path.exists(cfgp)):
+                continue
+            import jax
+
+            from isopoints_tpu.config import load_config
+            from isopoints_tpu.factories import create_model
+            from isopoints_tpu.misc.checkpoints import CheckpointIO
+            from isopoints_tpu.models.generator import (
+                Generator,
+                GeneratorConfig,
+            )
+            cfg = load_config(cfgp)
+            model = create_model(cfg)
+            ckio = CheckpointIO(d)
+            ckio.registry["model"] = model.init(jax.random.key(0))
+            ckio.load("model.npz")
+            params = ckio.registry["model"]
+            gen = Generator(model, GeneratorConfig(
+                mesh_resolution=args.final_mesh_resolution))
+            verts, faces = gen.generate_mesh(params, two_stage=False)
+            if len(verts) == 0:
+                finals[name] = float("inf")
+                continue
+            verts, faces = largest_component(verts, faces)
+            res = evaluate_mesh(verts, faces, gt, None, n_samples=20000)
+            finals[name] = res["chamfer_p"]
 
     lines = [
         "# ABLATION — sampling with iso-points (reference protocol)",
@@ -78,6 +124,20 @@ def main():
             f"| {r['chamfer']:.5f} | {r['best_psnr']:.2f} "
             f"| {r['best_iou']:.4f} | {r['best_chamfer']:.5f} |")
     lines.append("")
+    if finals:
+        lines.append("## Final-checkpoint chamfer (consistent protocol)")
+        lines.append("")
+        lines.append(f"Final mesh at {args.final_mesh_resolution}^3, "
+                     "LARGEST component only, squared chamfer vs the 20k "
+                     "GT surface samples (the in-training curve meshes "
+                     "the raw field — off-camera f<0 islands contaminate "
+                     "it; this row is the comparable number):")
+        lines.append("")
+        lines.append("| arm | final chamfer_p |")
+        lines.append("|---|---|")
+        for name, v in finals.items():
+            lines.append(f"| {name} | {v:.6f} |")
+        lines.append("")
     lines.append("## Curves (it, PSNR_full, chamfer)")
     lines.append("")
     for name, c in curves.items():

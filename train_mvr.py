@@ -159,6 +159,17 @@ def main():
     # (parallel/data.py). Single-host keeps the reference's 2 views.
     n_dev = trainer.mesh.devices.size
     batch_views = n_dev if multihost else 2
+    stage_views = (not multihost
+                   and images.nbytes + masks.nbytes < 2 * 1024 ** 3)
+    if stage_views:
+        # stage ALL views on device once and pick per-step batches with
+        # an on-device gather: host slicing ships megabytes of pixels
+        # over the (tunneled) host->TPU link EVERY step — measured
+        # 0.9 s/iter at 512px/2 views where the train step itself is
+        # ~0.1 s. 24 views @ 512px stage in ~100 MB of HBM; datasets
+        # beyond 2 GB keep the host path.
+        images_dev = jax.device_put(jnp.asarray(images))
+        masks_dev = jax.device_put(jnp.asarray(masks))
     # on a multi-host pod only process 0 writes checkpoints, metrics,
     # and meshes (a shared out_dir would otherwise see concurrent
     # writes of the same files from every host)
@@ -197,8 +208,13 @@ def main():
         else:
             idx = rng.choice(n_views, size=batch_views,
                              replace=batch_views > n_views)
-            img = jnp.asarray(images[idx])
-            mask = jnp.asarray(masks[idx])
+            if stage_views:
+                idx_dev = jnp.asarray(idx)
+                img = jnp.take(images_dev, idx_dev, axis=0)
+                mask = jnp.take(masks_dev, idx_dev, axis=0)
+            else:
+                img = jnp.asarray(images[idx])
+                mask = jnp.asarray(masks[idx])
             camera = get_camera(idx)
         state, metrics = trainer.train_step(state, img, mask, camera)
         if is_main:
