@@ -118,8 +118,15 @@ def main():
         if "faces" not in data or data["faces"] is None:
             continue
         if scale_mat is not None:
-            data["points"] = (data["points"] @ scale_mat[:3, :3].T
-                              + scale_mat[:3, 3])
+            if os.path.exists(m + ".denormalized"):
+                # generate_mvr.py already emitted this mesh in world
+                # coordinates — applying scale_mat again would
+                # double-transform it (advisor r3 finding)
+                log.info("%s: already denormalized (marker present), "
+                         "skipping scale_mat", os.path.relpath(m, args.exp_dir))
+            else:
+                data["points"] = (data["points"] @ scale_mat[:3, :3].T
+                                  + scale_mat[:3, 3])
         metrics = evaluate_mesh(data["points"], data["faces"], gt_points,
                                 gt_normals, gt_verts=gt_verts,
                                 gt_faces=gt_faces, n_samples=args.n_samples)

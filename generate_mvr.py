@@ -65,6 +65,10 @@ def main():
         sm = DTUDataset(cfg.data.data_dir).get_scale_mat()
         verts = verts @ sm[:3, :3].T + sm[:3, 3]
         log.info("applied DTU scale_mat denormalization")
+        # marker so evaluate.py --scale-mat-from doesn't re-apply the
+        # transform to a mesh already in world coordinates
+        with open(os.path.join(out_dir, "mesh.ply.denormalized"), "w") as f:
+            f.write("scale_mat applied by generate_mvr.py\n")
     save_ply(os.path.join(out_dir, "mesh.ply"), verts, faces=faces)
     log.info("mesh: %d verts %d faces -> %s/mesh.ply",
              len(verts), len(faces), out_dir)

@@ -783,6 +783,13 @@ def _dense_ray_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
     # f < −margin.
     margin = cfg.sampler_coarse_margin if use_coarse else 0.0
     fused = getattr(sdf_fn, "fused_ray_sampler", None)
+    # the kernel's coarse sweep is the bf16-hi half of sdf_fn's own
+    # pack, which equals sdf_fn_coarse ONLY for f32x3 packing — other
+    # packings (stride 2) would silently sweep at fine precision, so
+    # fall back to the XLA path there (advisor r3 finding).
+    if fused is not None and use_coarse and \
+            getattr(fused, "packing_stride", None) != 3:
+        fused = None
     if cfg.sampler_in_kernel and fused is not None:
         # sweep + bracket re-validation + secant in ONE Pallas kernel
         # (ops/pallas_sampler.py); only the (B, N)-sized hit/fallback

@@ -199,4 +199,8 @@ def make_sampler(kind: str, field, mats: Sequence[jax.Array], stride: int,
         unflat = lambda a: a[:n_rays, 0].reshape(shp)
         return tuple(unflat(o) for o in outs)
 
+    # callers (raytracing._dense_ray_sampler) check this before taking
+    # the in-kernel path with coarse_sweep=True: the bf16 coarse sweep
+    # only matches the caller's sdf_fn_coarse for f32x3 packing
+    sampler.packing_stride = stride
     return sampler

@@ -575,7 +575,11 @@ def rasterize_splats(pts_ndc, ellipse, radii, cutoff, mask,
 def _rasterize_fwd(pts_ndc, ellipse, radii, cutoff, mask, settings):
     frags, extras = _rasterize_fwd_impl(pts_ndc, ellipse, radii, cutoff,
                                         mask, settings)
-    res = (pts_ndc, radii, mask, frags.idx, frags.visibility, extras)
+    # the tiled backward reduces from the (B, n_tiles, M) candidate
+    # slots; idx is only needed by the untiled fallback — dropping it
+    # halves fragment-map residual memory at 512px/K=5 (advisor r3)
+    res = (pts_ndc, radii, mask, None if extras is not None else frags.idx,
+           frags.visibility, extras)
     return frags, res
 
 

@@ -253,6 +253,15 @@ def signed_distance_loss(points: jax.Array, sdf: jax.Array,
     sg = jax.lax.stop_gradient
     pts_sg = sg(pts)
     anch = jnp.asarray(anchors, jnp.float32)                 # (A, 3)
+    # the parity vote is only sound if every anchor lies OUTSIDE the
+    # mesh; the defaults sit at radius ~3.7 (unit-box assumption, like
+    # the reference's fixed camera). For meshes that extend past that
+    # (e.g. unnormalized DTU world coords), scale all anchors out
+    # radially so they clear the bounding sphere (advisor r3 finding).
+    vmax = jnp.max(jnp.linalg.norm(sg(jnp.asarray(verts, jnp.float32)),
+                                   axis=-1))
+    amin = jnp.min(jnp.linalg.norm(anch, axis=-1))
+    anch = anch * jnp.maximum(1.0, 1.25 * vmax / amin)
     seg = anch[:, None, :] - pts_sg[None]                    # (A, P, 3)
 
     def body(carry, chunk):
