@@ -57,6 +57,11 @@ class TrainerConfig:
     # hard-example mining: trainer.py:509-590 ref_per_point_metric)
     saliency_sampling: bool = False
     n_ref_points: int = 2048
+    # saliency metric: 'loss' = running mean of per-point RGB residuals
+    # (trainer.py:509-582); 'curvature' = static local surface variation
+    # of the reference cloud, lambda0/eps_denom(lambda2) over 12-NN
+    # frames (trainer.py:584-590) — high-curvature regions get children
+    saliency_mode: str = "loss"
 
 
 class TrainState(NamedTuple):
@@ -283,6 +288,26 @@ class MVRTrainer:
         self._ref_mask = ok
         self._ref_stat_mean = jnp.zeros(self._ref_points.shape[:2])
         self._ref_stat_n = jnp.zeros(self._ref_points.shape[:2])
+        if self.cfg.saliency_mode == "curvature":
+            self._seed_curvature_metric()
+
+    def _seed_curvature_metric(self) -> None:
+        """Static curvature saliency (ref_per_point_metric mode
+        'curvature', trainer.py:584-590): per-ref-point surface
+        variation lambda0/eps_denom(lambda2) from 12-NN local frames —
+        computed once; `update_ref_metric` leaves it untouched."""
+        from isopoints_tpu.ops.neighbors import knn_points as _knn
+        from isopoints_tpu.utils.mathutils import local_coord_frames
+        from isopoints_tpu.utils import eps_denom
+
+        res = _knn(self._ref_points, self._ref_points,
+                   self._ref_mask, self._ref_mask, k=12)
+        from isopoints_tpu.ops.neighbors import knn_gather
+        nn = knn_gather(self._ref_points, res.idx)
+        evals, _ = local_coord_frames(self._ref_points, nn, res.mask)
+        metric = evals[..., 0] / eps_denom(evals[..., -1], 1e-12)
+        self._ref_stat_mean = jnp.where(self._ref_mask, metric, 0.0)
+        self._ref_stat_n = jnp.ones(self._ref_points.shape[:2])
 
     def update_ref_metric(self, iso_points, rgb_losses, iso_mask) -> None:
         """Average per-point RGB residuals onto the reference saliency
@@ -302,6 +327,11 @@ class MVRTrainer:
             self._ref_mask = ok
             self._ref_stat_mean = jnp.zeros(self._ref_points.shape[:2])
             self._ref_stat_n = jnp.zeros(self._ref_points.shape[:2])
+            if self.cfg.saliency_mode == "curvature":
+                self._seed_curvature_metric()
+
+        if self.cfg.saliency_mode == "curvature":
+            return  # static geometric metric, nothing to accumulate
 
         b = iso_points.shape[0]
         flat_pts = iso_points.reshape(1, -1, 3)

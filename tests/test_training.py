@@ -350,6 +350,68 @@ class TestSaliencySampling:
         assert np.isfinite(np.asarray(state.points)).all()
 
 
+class TestCurvatureSaliency:
+    """ref_per_point_metric mode 'curvature' (reference
+    trainer.py:584-590): a static geometric saliency metric drives
+    insertion toward high-curvature regions."""
+
+    def _tent_cloud(self, n=24):
+        # flat plane on [0,1]^2 folded sharply upward for x > 0.5:
+        # curvature is ~0 on both faces, large where 12-NN straddle
+        # the fold
+        xs, ys = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n))
+        x = xs.reshape(-1)
+        z = 2.0 * np.maximum(0.0, x - 0.5)
+        return np.stack([x, ys.reshape(-1), z], -1).astype(np.float32)
+
+    def _trainer(self):
+        model = CombinedModel(
+            SirenField(hidden_size=32, n_layers=1),
+            cfg=ImplicitConfig(proj_max_iters=5),
+            combined_cfg=CombinedConfig(max_iso_per_batch=64,
+                                        n_points_per_cloud=128,
+                                        visibility_image_size=16),
+            raster_settings=RasterizationSettings(image_size=16, tile_size=8,
+                                                  max_points_per_tile=64))
+        return MVRTrainer(model, TrainerConfig(
+            n_rays=64, n_eikonal_points=64, saliency_sampling=True,
+            saliency_mode="curvature", n_ref_points=256))
+
+    def test_metric_concentrates_at_fold_and_is_static(self):
+        trainer = self._trainer()
+        trainer.set_reference_cloud(self._tent_cloud())
+        pts = np.asarray(trainer._ref_points[0])
+        ok = np.asarray(trainer._ref_mask[0])
+        metric = np.asarray(trainer._ref_stat_mean[0])
+        near = ok & (np.abs(pts[:, 0] - 0.5) < 0.08)
+        far = ok & (np.abs(pts[:, 0] - 0.5) > 0.25)
+        assert near.sum() > 3 and far.sum() > 10
+        assert metric[near].mean() > 5.0 * max(metric[far].mean(), 1e-9)
+        # the metric is geometric and static: update_ref_metric no-ops
+        before = metric.copy()
+        trainer.update_ref_metric(jnp.asarray(pts[None, :64]),
+                                  jnp.ones((1, 64)) * 9.0,
+                                  jnp.ones((1, 64), bool))
+        np.testing.assert_array_equal(
+            np.asarray(trainer._ref_stat_mean[0]), before)
+
+    def test_insertion_prefers_high_curvature(self):
+        from isopoints_tpu.models.levelset import insert_around_salient
+
+        trainer = self._trainer()
+        cloud = self._tent_cloud()
+        trainer.set_reference_cloud(cloud)
+        pts = jnp.asarray(cloud[None])
+        mask = jnp.ones(pts.shape[:2], bool)
+        children, child_mask = insert_around_salient(
+            pts, mask, trainer._ref_points, trainer._ref_stat_mean,
+            trainer._ref_mask & (trainer._ref_stat_n > 0))
+        ch = np.asarray(children[0])[np.asarray(child_mask[0])]
+        assert len(ch) > 0
+        # children cluster around the fold at x = 0.5
+        assert np.mean(np.abs(ch[:, 0] - 0.5) < 0.15) > 0.8
+
+
 @pytest.mark.slow
 class TestFullImageEval:
     def _tiny(self):
