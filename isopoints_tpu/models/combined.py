@@ -246,11 +246,18 @@ class CombinedModel(ImplicitModel):
                 camera: PerspectiveCamera, key: jax.Array,
                 points=None, points_mask=None, lights=None,
                 project: bool = True, sample_iso_offsurface: bool = True,
-                training: bool = True, ray_uniform=None):
+                training: bool = True, ray_uniform=None, spacing=None):
         """Combined forward (combined_modeling.py:481-732).
 
         Returns (ModelOutput, new_points, new_points_mask) — the caller
         threads the persistent iso-point buffers.
+
+        `spacing`: optional cached `splat_spacing` h_k (B, P) for
+        `points` — the trainer refreshes it on the resample cadence
+        instead of paying the kNN every step (the reference recomputes
+        its FRNN per forward; splats move slowly between refreshes so
+        the EWA radii are insensitive to the staleness — equivalence
+        tested in test_training.py). None = compute fresh.
         """
         if not project or points is None:
             # warm-up / no iso-points: pure IDR fallback (:570-593)
@@ -266,9 +273,10 @@ class CombinedModel(ImplicitModel):
         from isopoints_tpu.rendering.rasterizer import splat_spacing
         pts_normals = jax.lax.stop_gradient(_sg(f_trace, points)[1])
         # ONE kNN for all three visibility renders this step (the splat
-        # spacing h_k depends only on the point buffer, not the camera)
-        pts_spacing = splat_spacing(points, points_mask,
-                                    self.raster_settings)
+        # spacing h_k depends only on the point buffer, not the camera);
+        # trainer-cached when `spacing` is given
+        pts_spacing = spacing if spacing is not None else splat_spacing(
+            points, points_mask, self.raster_settings)
         frontal = self.visible_points_mask(params, points, points_mask,
                                            pts_normals, camera,
                                            spacing=pts_spacing) & points_mask

@@ -67,11 +67,13 @@ def make_train_step(model: CombinedModel,
         `pmean` (over ICI) reconstructs the global loss/gradient, then
         a replicated optimizer update (identical on every chip).
 
-    Returns step(params, opt_state, points, points_mask, img, mask_img,
-    camera, hp, key) -> (params, opt_state, new_points, new_mask,
-    metrics, saliency). `saliency` is the (points, rgb_residual, mask)
-    triple for loss-weighted resampling (replicated; meaningful only
-    with project=True).
+    Returns step(params, opt_state, points, points_mask, spacing, img,
+    mask_img, camera, hp, key) -> (params, opt_state, new_points,
+    new_mask, metrics, saliency). `spacing` is the cached splat kNN
+    spacing for `points` (None = the forward computes it fresh; the
+    trainer refreshes it on the resample cadence). `saliency` is the
+    (points, rgb_residual, mask) triple for loss-weighted resampling
+    (replicated; meaningful only with project=True).
     """
     from isopoints_tpu.training.trainer import compute_loss
 
@@ -80,8 +82,8 @@ def make_train_step(model: CombinedModel,
     n_local = -(-n_rays // n_dev)          # ceil: round the ray budget up
     n_eik = -(-n_eikonal_points // n_dev) * n_dev
 
-    def shard_body(params, opt_state, points, points_mask, img, mask_img,
-                   camera, hp, key):
+    def shard_body(params, opt_state, points, points_mask, spacing, img,
+                   mask_img, camera, hp, key):
         i = jax.lax.axis_index(axis)
         if views_sharded:
             # multi-host input mode (parallel/data.py): each host ships
@@ -104,7 +106,7 @@ def make_train_step(model: CombinedModel,
             return compute_loss(model, params, points, points_mask, pixels,
                                 img, mask_img, camera, k_loss, hp, project,
                                 n_eikonal_points=n_eik, n_dev=n_dev,
-                                axis_name=axis)
+                                axis_name=axis, spacing=spacing)
 
         (loss, (metrics, new_pts, new_mask, saliency)), grads = \
             jax.value_and_grad(local_loss, has_aux=True)(params)
@@ -127,9 +129,9 @@ def make_train_step(model: CombinedModel,
     rep = P()
     if views_sharded:
         shd = P(axis)
-        in_specs = (rep, rep, rep, rep, shd, shd, shd, rep, rep)
+        in_specs = (rep, rep, rep, rep, rep, shd, shd, shd, rep, rep)
     else:
-        in_specs = (rep,) * 9
+        in_specs = (rep,) * 10
     out_specs = (rep, rep, rep, rep, rep, (rep, rep, rep))
     sharded = shard_map(shard_body, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)

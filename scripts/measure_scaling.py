@@ -94,7 +94,7 @@ def measure(n_dev, rays_per_device, n_iters, model, params, camera, img,
           [("lambda_rgb", 1.0), ("lambda_freespace", 1.0),
            ("lambda_occupied", 1.0), ("lambda_eikonal", 0.01),
            ("sdf_alpha", 10.0)]}
-    args = (params, opt_state, points, points_mask, img, mask_img,
+    args = (params, opt_state, points, points_mask, None, img, mask_img,
             camera, hp)
     out = step(*args, jax.random.key(2))
     jax.block_until_ready(out)

@@ -57,8 +57,8 @@ def run_step(setup, n_devices, project=True, key=3):
           [("lambda_rgb", 1.0), ("lambda_freespace", 1.0),
            ("lambda_occupied", 1.0), ("lambda_eikonal", 0.01),
            ("sdf_alpha", 10.0)]}
-    return step(params, opt_state, points, points_mask, img, mask_img,
-                camera, hp, jax.random.key(key))
+    return step(params, opt_state, points, points_mask, None, img,
+                mask_img, camera, hp, jax.random.key(key))
 
 
 class TestShardedStep:
@@ -131,8 +131,8 @@ class TestHostShardedViews:
               [("lambda_rgb", 1.0), ("lambda_freespace", 1.0),
                ("lambda_occupied", 1.0), ("lambda_eikonal", 0.01),
                ("sdf_alpha", 10.0)]}
-        args = (params, opt_state, points, points_mask, img8, mask8,
-                cam8, hp, jax.random.key(3))
+        args = (params, opt_state, points, points_mask, None, img8,
+                mask8, cam8, hp, jax.random.key(3))
         rep_step = make_train_step(model, optimizer, mesh, project=True,
                                    n_rays=64, image_size=(32, 32),
                                    n_eikonal_points=64)

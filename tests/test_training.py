@@ -350,6 +350,85 @@ class TestSaliencySampling:
         assert np.isfinite(np.asarray(state.points)).all()
 
 
+class TestSpacingCache:
+    """VERDICT r3 item 6: splat-spacing kNN amortized on the resample
+    cadence via TrainState.spacing instead of per-forward."""
+
+    def _model(self):
+        return CombinedModel(
+            SirenField(hidden_size=32, n_layers=1),
+            cfg=ImplicitConfig(proj_max_iters=5),
+            combined_cfg=CombinedConfig(max_iso_per_batch=64,
+                                        n_points_per_cloud=128,
+                                        visibility_image_size=16),
+            raster_settings=RasterizationSettings(image_size=16, tile_size=8,
+                                                  max_points_per_tile=64))
+
+    def test_trainer_threads_cached_spacing(self):
+        from isopoints_tpu.core.camera import look_at_view_transform
+
+        model = self._model()
+        trainer = MVRTrainer(model, TrainerConfig(
+            n_rays=64, warm_up_iters=0, resample_every=4,
+            n_eikonal_points=64))
+        state = trainer.init_state()
+        img = jnp.ones((1, 16, 16, 3)) * 0.5
+        mask = jnp.ones((1, 16, 16, 1))
+        R, T = look_at_view_transform([2.0], [0.0], [0.0])
+        camera = PerspectiveCamera.create(R=R, T=T, focal_length=2.0)
+        spacings = []
+        for _ in range(4):
+            state, metrics = trainer.train_step(state, img, mask, camera)
+            assert np.isfinite(metrics["loss"])
+            spacings.append(state.spacing)
+        # after the first projected step the cache is live and REUSED
+        # (same array object across the cached stretch, no per-step kNN)
+        assert spacings[1] is not None
+        assert spacings[2] is spacings[1] and spacings[3] is spacings[1]
+
+    def test_stale_spacing_forward_equivalence(self):
+        """A forward on a slightly-drifted buffer with the stale cached
+        spacing matches the fresh-spacing forward within tolerance (the
+        EWA radii are insensitive to small point motion)."""
+        from isopoints_tpu.core.camera import look_at_view_transform
+        from isopoints_tpu.rendering.rasterizer import splat_spacing
+
+        model = self._model()
+        params = model.init(jax.random.key(0))
+        rs = np.random.RandomState(0)
+        pts = rs.randn(1, 128, 3).astype(np.float32)
+        pts /= np.maximum(np.linalg.norm(pts, axis=-1, keepdims=True), 1e-9)
+        pts = jnp.asarray(pts * 0.5)
+        mask = jnp.ones((1, 128), bool)
+        stale = splat_spacing(pts, mask, model.raster_settings)
+        # drift: the per-step projection/resubset moves points ~1% of
+        # the cloud scale between cadence refreshes
+        drifted = pts + 0.005 * jax.random.normal(jax.random.key(1),
+                                                  pts.shape)
+        fresh = splat_spacing(drifted, mask, model.raster_settings)
+        R, T = look_at_view_transform([2.0], [0.0], [0.0])
+        camera = PerspectiveCamera.create(R=R, T=T, focal_length=2.0)
+        img = jnp.ones((1, 16, 16, 3)) * 0.5
+        mask_img = jnp.ones((1, 16, 16, 1))
+        pix = jnp.zeros((1, 64, 2))
+        key = jax.random.key(2)
+        out_s, _, _ = model.forward(params, pix, img, mask_img, camera,
+                                    key, points=drifted, points_mask=mask,
+                                    spacing=stale)
+        out_f, _, _ = model.forward(params, pix, img, mask_img, camera,
+                                    key, points=drifted, points_mask=mask,
+                                    spacing=fresh)
+        # same iso selection and near-identical render outputs
+        np.testing.assert_array_equal(np.asarray(out_s.iso_mask),
+                                      np.asarray(out_f.iso_mask))
+        np.testing.assert_allclose(np.asarray(out_s.iso_rgb),
+                                   np.asarray(out_f.iso_rgb),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out_s.iso_points),
+                                   np.asarray(out_f.iso_points),
+                                   rtol=1e-3, atol=1e-3)
+
+
 class TestCurvatureSaliency:
     """ref_per_point_metric mode 'curvature' (reference
     trainer.py:584-590): a static geometric saliency metric drives
