@@ -83,6 +83,12 @@ class RasterizationSettings:
     # run the fine stage as a Pallas kernel (rendering/pallas_splat.py):
     # K masked-min sweeps in VMEM instead of per-pixel top_k sorts
     use_pallas: bool = False
+    # run the coarse stage (strip+tile candidate selection) as a Pallas
+    # kernel too (rendering/pallas_select.py): exact threshold
+    # selection via integer bisection + prefix/one-hot dots instead of
+    # the XLA strip+tile top_k sorts (~11.3 ms/frame at 24.5k/512px).
+    # None = follow use_pallas; only active on the use_pallas path.
+    use_pallas_selection: "Optional[bool]" = None
     # occupancy backward as a VMEM-resident Pallas kernel
     # (rendering/pallas_occ_bwd.py; measured 30 -> 14 ms at 24.5k
     # splats/512px, exact). None = auto: on for the TPU backend when
@@ -414,18 +420,33 @@ def _rasterize_one_pallas(pts, ellipse, radii, cutoff, valid, xs, half,
     px, py, z = pts[:, 0], pts[:, 1], pts[:, 2]
     rx, ry = radii[:, 0], radii[:, 1]
 
-    def row_candidates(ti):
-        rows = ti * T + jnp.arange(T)
-        ys = _pixel_ndc(rows, S)
-        cy = 0.5 * (ys[0] + ys[-1])
-        return _tile_candidates(px, py, z, rx, ry, valid, cy,
-                                tile_centers_x, half, M,
-                                strip_cap=s.max_points_per_strip)
+    use_sel = s.use_pallas_selection
+    if use_sel is None:
+        use_sel = True
+    if use_sel:
+        # coarse stage in-kernel: exact threshold selection, identical
+        # candidate SETS to the top_k path (pallas_select docstring)
+        from isopoints_tpu.rendering.pallas_select import (
+            select_candidates_pallas,
+        )
+        cand_idx, cand_ok, overflow = select_candidates_pallas(
+            px, py, z, rx, ry, valid, S=S, T=T, nt=nt,
+            R=s.max_points_per_strip, M=M,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        def row_candidates(ti):
+            rows = ti * T + jnp.arange(T)
+            ys = _pixel_ndc(rows, S)
+            cy = 0.5 * (ys[0] + ys[-1])
+            return _tile_candidates(px, py, z, rx, ry, valid, cy,
+                                    tile_centers_x, half, M,
+                                    strip_cap=s.max_points_per_strip)
 
-    cand_idx, cand_ok, ovf = jax.lax.map(row_candidates, jnp.arange(nt))
-    overflow = ovf.sum()
-    cand_idx = cand_idx.reshape(nt * nt, M)
-    cand_ok = cand_ok.reshape(nt * nt, M)
+        cand_idx, cand_ok, ovf = jax.lax.map(row_candidates,
+                                             jnp.arange(nt))
+        overflow = ovf.sum()
+        cand_idx = cand_idx.reshape(nt * nt, M)
+        cand_ok = cand_ok.reshape(nt * nt, M)
 
     # gather all 9 per-point attributes in ONE row gather: XLA does not
     # merge same-index gathers, and each separate (nt², M) gather costs
