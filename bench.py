@@ -238,13 +238,15 @@ def main():
 
     PROJ_REP = 8
 
-    def time_projection(fn, label, tolerance=5e-5, max_iters=10):
+    def time_projection(fn, label, tolerance=5e-5, max_iters=10,
+                        fn_coarse=None, coarse_iters=0):
         @jax.jit
         def project(p):
             def step(carry, _):
                 res = project_points_newton(
                     fn, p + 1e-30 * carry, pmask, max_iters=max_iters,
-                    tolerance=tolerance)
+                    tolerance=tolerance, sdf_fn_coarse=fn_coarse,
+                    coarse_iters=coarse_iters, coarse_tolerance=1e-3)
                 return res.points.mean(), res.mask
             _, masks = jax.lax.scan(step, jnp.float32(0), None,
                                     length=PROJ_REP)
@@ -270,6 +272,11 @@ def main():
     time_projection(sdf, "f32x3")
     if jax.default_backend() == "tpu":
         time_projection(sdf_bf16, "bf16-fused")
+        # hybrid precision schedule (VERDICT r4 item 4): bf16 fused
+        # iterations to the bf16 noise floor (~1e-3), f32x3 finish to
+        # the training tolerance — convergence judged on fine values
+        time_projection(sdf, "hybrid", max_iters=4,
+                        fn_coarse=sdf_bf16, coarse_iters=8)
 
     # splat rasterization forward+backward throughput (BASELINE M5 axis:
     # the DSS occupancy-gradient splat path, rendering/rasterizer.py)

@@ -63,27 +63,8 @@ class ProjectionConfig:
 # Newton projection (levelset_sampling.py:290-351)
 # ---------------------------------------------------------------------------
 
-def project_points_newton(sdf_fn: SDFFn, points: jax.Array, mask: jax.Array,
-                          max_iters: int = 10, tolerance: float = 5e-5,
-                          step_clip: float = 0.1,
-                          mesh=None) -> ProjectionResult:
-    """Project points onto the zero level set: p ← p − f·∇f/|∇f|².
-
-    Each Newton move is norm-clamped to `step_clip` (reference :336-342).
-    Runs as a masked while_loop; one SDF fwd+vjp per iteration.
-
-    With `mesh` (a jax.sharding.Mesh of >1 devices) the point axis is
-    sharded over the mesh — the green-field "points sharded over chips"
-    axis of BASELINE.md config 5. Projection is pointwise so shards
-    need no communication, and each shard's while_loop early-exits
-    independently (a strict win over the full-width loop). Per-point
-    results are bit-identical to the unsharded path because updates
-    are masked per point.
-    """
-    if mesh is not None and mesh.devices.size > 1:
-        return _project_points_newton_sharded(
-            sdf_fn, points, mask, mesh, max_iters=max_iters,
-            tolerance=tolerance, step_clip=step_clip)
+def _newton_loop(sdf_fn, points, mask, max_iters, tolerance, step_clip):
+    """Masked Newton while_loop; returns (points, sdf, grad)."""
     sdf0, grad0 = sdf_and_grad(sdf_fn, points)
 
     def cond(state):
@@ -105,12 +86,58 @@ def project_points_newton(sdf_fn: SDFFn, points: jax.Array, mask: jax.Array,
 
     pts, sdf, grad, _ = jax.lax.while_loop(
         cond, body, (points, sdf0, grad0, jnp.int32(0)))
+    return pts, sdf, grad
+
+
+def project_points_newton(sdf_fn: SDFFn, points: jax.Array, mask: jax.Array,
+                          max_iters: int = 10, tolerance: float = 5e-5,
+                          step_clip: float = 0.1,
+                          mesh=None, sdf_fn_coarse: Optional[SDFFn] = None,
+                          coarse_iters: int = 0,
+                          coarse_tolerance: float = 1e-3) -> ProjectionResult:
+    """Project points onto the zero level set: p ← p − f·∇f/|∇f|².
+
+    Each Newton move is norm-clamped to `step_clip` (reference :336-342).
+    Runs as a masked while_loop; one SDF fwd+vjp per iteration.
+
+    Hybrid precision schedule (the trace path's coarse/fine recipe,
+    CLAUDE.md): with `sdf_fn_coarse` and `coarse_iters` > 0, up to
+    `coarse_iters` Newton steps run on the coarse fn (e.g. the bf16
+    fused kernel) to `coarse_tolerance` — roughly the bf16 noise floor
+    — and the standard fine loop finishes from there. The convergence
+    decision (`mask` of the result) ALWAYS comes from fine-precision
+    values; coarse == fine reproduces the plain path exactly up to the
+    iteration split (tested in test_levelset.py).
+
+    With `mesh` (a jax.sharding.Mesh of >1 devices) the point axis is
+    sharded over the mesh — the green-field "points sharded over chips"
+    axis of BASELINE.md config 5. Projection is pointwise so shards
+    need no communication, and each shard's while_loop early-exits
+    independently (a strict win over the full-width loop). Per-point
+    results are bit-identical to the unsharded path because updates
+    are masked per point.
+    """
+    if mesh is not None and mesh.devices.size > 1:
+        return _project_points_newton_sharded(
+            sdf_fn, points, mask, mesh, max_iters=max_iters,
+            tolerance=tolerance, step_clip=step_clip,
+            sdf_fn_coarse=sdf_fn_coarse, coarse_iters=coarse_iters,
+            coarse_tolerance=coarse_tolerance)
+    if coarse_iters > 0 and sdf_fn_coarse is not None:
+        points, _, _ = _newton_loop(sdf_fn_coarse, points, mask,
+                                    coarse_iters,
+                                    max(coarse_tolerance, tolerance),
+                                    step_clip)
+    pts, sdf, grad = _newton_loop(sdf_fn, points, mask, max_iters,
+                                  tolerance, step_clip)
     valid = (jnp.abs(sdf) <= tolerance) & mask
     return ProjectionResult(points=pts, normals=grad, mask=valid)
 
 
 def _project_points_newton_sharded(sdf_fn, points, mask, mesh,
-                                   max_iters, tolerance, step_clip
+                                   max_iters, tolerance, step_clip,
+                                   sdf_fn_coarse=None, coarse_iters=0,
+                                   coarse_tolerance=1e-3
                                    ) -> ProjectionResult:
     """shard_map wrapper: P axis split over the mesh, capacity padded
     up to a multiple of the device count (padding masked out)."""
@@ -130,7 +157,10 @@ def _project_points_newton_sharded(sdf_fn, points, mask, mesh,
     def body(pts, m):
         return project_points_newton(sdf_fn, pts, m, max_iters=max_iters,
                                      tolerance=tolerance,
-                                     step_clip=step_clip)
+                                     step_clip=step_clip,
+                                     sdf_fn_coarse=sdf_fn_coarse,
+                                     coarse_iters=coarse_iters,
+                                     coarse_tolerance=coarse_tolerance)
 
     spec = PartitionSpec(None, axis)
     fn = shard_map(body, mesh=mesh, in_specs=(spec, spec),

@@ -46,6 +46,39 @@ def test_newton_projection_respects_mask():
     assert not bool(res.mask[0, 2:].any())
 
 
+def test_newton_projection_hybrid_precision():
+    """Coarse/fine schedule (VERDICT r4 item 4): a noisy coarse fn
+    carries the bulk of the iterations; the fine finish converges to
+    the fine tolerance, and coarse == fine reproduces the plain path
+    exactly."""
+    key = jax.random.key(2)
+    pts = jax.random.uniform(key, (1, 512, 3), minval=-0.9, maxval=0.9)
+    mask = jnp.ones((1, 512), bool)
+    fine = sphere_sdf()
+
+    # identity case: coarse == fine must match the plain path exactly
+    plain = project_points_newton(fine, pts, mask, max_iters=12,
+                                  tolerance=5e-5)
+    hybrid_id = project_points_newton(fine, pts, mask, max_iters=12,
+                                      tolerance=5e-5, sdf_fn_coarse=fine,
+                                      coarse_iters=8,
+                                      coarse_tolerance=5e-5)
+    np.testing.assert_array_equal(np.asarray(plain.mask),
+                                  np.asarray(hybrid_id.mask))
+    np.testing.assert_allclose(np.asarray(plain.points),
+                               np.asarray(hybrid_id.points), atol=1e-6)
+
+    # bf16-like coarse fn (values rounded to bf16): the fine finish
+    # must still reach the 5e-5 contract the coarse fn cannot
+    coarse = lambda x: fine(x).astype(jnp.bfloat16).astype(jnp.float32)
+    hyb = project_points_newton(fine, pts, mask, max_iters=4,
+                                tolerance=5e-5, sdf_fn_coarse=coarse,
+                                coarse_iters=10, coarse_tolerance=1e-3)
+    assert float(hyb.mask.mean()) > 0.99
+    r = np.linalg.norm(np.asarray(hyb.points), axis=-1)[np.asarray(hyb.mask)]
+    np.testing.assert_allclose(r, 0.6, atol=1e-4)
+
+
 def test_resampling_uniformizes_on_sphere():
     key = jax.random.key(1)
     # noisy sphere samples (realistic iso-point state after projection)

@@ -57,9 +57,16 @@ def ref_kernels(tmp_path_factory):
         from torch.utils import cpp_extension
     except ImportError:
         pytest.skip("torch unavailable")
-    build_dir = tmp_path_factory.mktemp("ref_build")
+    # persistent build dir: torch cpp_extension.load skips the ~75 s
+    # recompile when sources are unchanged (suite wall-time, VERDICT r3
+    # weak item 6). Override with ISOPOINTS_TEST_REFBUILD.
+    import pathlib
+    build_dir = pathlib.Path(os.environ.get(
+        "ISOPOINTS_TEST_REFBUILD", "/tmp/isopoints-ref-build"))
+    build_dir.mkdir(parents=True, exist_ok=True)
     binding = build_dir / "binding.cpp"
-    binding.write_text(_BINDING)
+    if (not binding.exists()) or binding.read_text() != _BINDING:
+        binding.write_text(_BINDING)
     try:
         mod = cpp_extension.load(
             name="ref_raster_cpu",
