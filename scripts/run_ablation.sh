@@ -22,7 +22,10 @@ for arm in $ARMS; do
   for attempt in 1 2 3; do
     echo "=== ablation arm: $arm (budget ${BUDGET}s, attempt $attempt) ==="
     rm -rf "out/ablation_${arm}"
-    python train_mvr.py configs/ablation_compound_${arm}.yml \
+    # raised priority: the tunneled-TPU client is latency-sensitive —
+    # background CPU load on this box has caused worker-heartbeat
+    # faults (UNAVAILABLE) mid-arm. Keep the box quiet during arms.
+    nice -n -5 python train_mvr.py configs/ablation_compound_${arm}.yml \
       --out-dir out/ablation_${arm} \
       --max-iters 1000000 --exit-after "$BUDGET" \
       --validate-every 500 --checkpoint-every 1000 --print-every 100 \
