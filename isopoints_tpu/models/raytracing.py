@@ -366,6 +366,46 @@ def _masked_scatter(dst: jax.Array, sel: jax.Array, src: jax.Array,
     )(dst, sel, src, sel_ok)
 
 
+def _compact_gather(sel: jax.Array, cols) -> list:
+    """ONE wide same-index gather for a compaction stage.
+
+    XLA does NOT merge same-index gathers on TPU — each (B, N)-indexed
+    take_along_axis costs ~2 ms per 262k rows REGARDLESS of row width
+    (CLAUDE.md, measured on the splat path) — so the per-stage state
+    gathers must ride one wide row gather. `cols` is a sequence of
+    (B, N) or (B, N, k) arrays; returns them gathered to (B, cap[, k]),
+    dtypes preserved (non-f32 round-trips through f32 — exact for the
+    bools and small int counters this module carries)."""
+    parts, meta = [], []
+    for a in cols:
+        x = a[..., None] if a.ndim == 2 else a
+        parts.append(x.astype(jnp.float32))
+        meta.append((a.ndim == 2, a.dtype, x.shape[-1]))
+    table = jnp.concatenate(parts, axis=-1)                     # (B, N, C)
+    g = jnp.take_along_axis(table, sel[..., None], axis=1)      # (B, cap, C)
+    outs, off = [], 0
+    for was2d, dt, k in meta:
+        v = g[..., off:off + k]
+        off += k
+        outs.append(v[..., 0].astype(dt) if was2d else v.astype(dt))
+    return outs
+
+
+def _masked_scatter_wide(dsts, sel: jax.Array, srcs, sel_ok: jax.Array
+                         ) -> list:
+    """ONE wide masked scatter for same-index rows (same rationale as
+    `_compact_gather`): dsts/srcs are matching sequences of (B, N) /
+    (B, cap) arrays; returns the updated dsts, dtypes preserved."""
+    n = dsts[0].shape[1]
+    dt_tab = jnp.stack([d.astype(jnp.float32) for d in dsts], axis=-1)
+    src_tab = jnp.stack([s.astype(jnp.float32) for s in srcs], axis=-1)
+    out = jax.vmap(
+        lambda d, i, v, ok: d.at[jnp.where(ok, i, n)].set(
+            jnp.where(ok[:, None], v, 0.0), mode="drop")
+    )(dt_tab, sel, src_tab, sel_ok)
+    return [out[..., j].astype(d.dtype) for j, d in enumerate(dsts)]
+
+
 def _eval_sdf_chunked(sdf_fn: SDFFn, pts: jax.Array, chunk_rays: int
                       ) -> jax.Array:
     """Evaluate sdf over (B, N, S, 3) proposals, lax.map-chunked over
@@ -697,13 +737,16 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
         sel, sel_ok = _compact_mask(active, cap)                 # (B, cap)
         n_active = jnp.sum(active.astype(jnp.int32), axis=1)
         overflow = overflow + jnp.sum(jnp.maximum(n_active - cap, 0))
-        g2 = lambda x: jnp.take_along_axis(x, sel, axis=1)
-        g3 = lambda x: jnp.take_along_axis(x, sel[..., None], axis=1)
         frames.append((sel, sel_ok, st[0], st[1], st[4], n_cur))
 
-        cam_g, dirs_g = g3(cam_g), g3(dirs_g)
-        un_s_in = g2(st[4]) & sel_ok
-        un_e_in = g2(st[5]) & sel_ok
+        # ONE 16-wide row gather for the whole stage state (10 state
+        # arrays + cam + dirs); separate same-index gathers cost ~2 ms
+        # EACH per 262k rows on TPU (see _compact_gather)
+        (acc_s_g, acc_e_g, sdf_s_g, sdf_e_g, un_s_g, un_e_g,
+         bk_s_g, bk_e_g, cur_s_g, cur_e_g, cam_g, dirs_g) = \
+            _compact_gather(sel, list(st) + [cam_g, dirs_g])
+        un_s_in = un_s_g & sel_ok
+        un_e_in = un_e_g & sel_ok
         # per-stage precision: a stage whose iterations end at or
         # before `coarse_trace_iters` runs the coarse fn (compaction
         # DURING the coarse phase), followed by a fine re-validation;
@@ -711,9 +754,9 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
         stage_coarse = p2_coarse or (
             sdf_fn_coarse is not None and nxt <= cfg.coarse_trace_iters)
         stepper = getattr(sdf_fn, "fused_trace_stepper", None)
-        state_in = (g2(st[0]), g2(st[1]), g2(st[2]), g2(st[3]),
+        state_in = (acc_s_g, acc_e_g, sdf_s_g, sdf_e_g,
                     un_s_in, un_e_in,
-                    g2(st[6]), g2(st[7]), g2(st[8]), g2(st[9]))
+                    bk_s_g, bk_e_g, cur_s_g, cur_e_g)
         if (cfg.trace_in_kernel and cfg.fused_backstep
                 and not stage_coarse and stepper is not None):
             st = stepper(cam_g, dirs_g, state_in, nxt - a,
@@ -742,11 +785,12 @@ def _bidirectional_sphere_trace(sdf_fn: SDFFn, cam_loc, ray_dirs,
             st = (st[0], st[1], f_s, f_e, r_un_s, r_un_e) + st[6:]
 
     # unwind: scatter each stage's result back into its parent buffer
+    # (ONE 3-wide scatter per stage — see _compact_gather's rationale)
     c_acc_s, c_acc_e, c_un_s = st[0], st[1], st[4]
     for sel, sel_ok, p_acc_s, p_acc_e, p_un_s, n_cur in reversed(frames):
-        c_acc_s = _masked_scatter(p_acc_s, sel, c_acc_s, sel_ok)
-        c_acc_e = _masked_scatter(p_acc_e, sel, c_acc_e, sel_ok)
-        c_un_s = _masked_scatter(p_un_s, sel, c_un_s, sel_ok)
+        c_acc_s, c_acc_e, c_un_s = _masked_scatter_wide(
+            (p_acc_s, p_acc_e, p_un_s), sel,
+            (c_acc_s, c_acc_e, c_un_s), sel_ok)
     # overflow beyond capacity keeps its pre-stage state (still
     # unfinished -> handled by the dense sampler downstream); counted
     # per stage (top_k takes active rays first: active_count - cap)
@@ -886,19 +930,18 @@ def _presweep_sampler(sdf_fn: SDFFn, key, cam_loc, ray_dirs, object_mask,
     b, nr = sampler_mask.shape
     cap = min(max(int(math.ceil(nr * cfg.sampler_dense_fraction)), 1), nr)
     sel, sel_ok = _compact_mask(needs_dense, cap)
-    g2 = lambda a: jnp.take_along_axis(a, sel, axis=1)
-    g3 = lambda a: jnp.take_along_axis(a, sel[..., None], axis=1)
+    cam_g, dirs_g, om_g, tlo_g, thi_g = _compact_gather(
+        sel, [cam_loc, ray_dirs, object_mask, t_lo, t_hi])
 
     cfg_dense = dataclasses.replace(cfg, sampler_presweep=0)
     d_pts, d_t, d_obj, _ = _dense_ray_sampler(
-        sdf_fn, key, g3(cam_loc), g3(ray_dirs), g2(object_mask),
-        g2(t_lo), g2(t_hi), sel_ok, cfg_dense, training,
-        sdf_fn_coarse=sdf_fn_coarse)
+        sdf_fn, key, cam_g, dirs_g, om_g, tlo_g, thi_g,
+        sel_ok, cfg_dense, training, sdf_fn_coarse=sdf_fn_coarse)
 
     t_out = t_min1                       # certified / overflow default
     obj_out = jnp.zeros_like(needs_dense)
-    t_out = _masked_scatter(t_out, sel, d_t, sel_ok)
-    obj_out = _masked_scatter(obj_out, sel, d_obj, sel_ok)
+    t_out, obj_out = _masked_scatter_wide(
+        (t_out, obj_out), sel, (d_t, d_obj), sel_ok)
     obj_out = sampler_mask & obj_out
 
     n_flagged = jnp.sum(needs_dense.astype(jnp.int32), axis=1)
@@ -979,15 +1022,13 @@ def ray_trace(sdf_fn: SDFFn, cam_loc: jax.Array, ray_dirs: jax.Array,
         b, n = sampler_mask.shape
         cap = max(int(math.ceil(n * cfg.sampler_fraction)), 1)
         sel, sel_ok = _compact_mask(sampler_mask, cap)          # (B, cap)
-        g2 = lambda a: jnp.take_along_axis(a, sel, axis=1)
-        g3 = lambda a: jnp.take_along_axis(a, sel[..., None], axis=1)
+        cam_g, dirs_g, om_g, accs_g, acce_g = _compact_gather(
+            sel, [cam_loc, ray_dirs, object_mask, acc_s, acc_e])
         s_pts, s_t, s_obj, ps_ovf = _dense_ray_sampler(
-            sdf_fn, k1, g3(cam_loc), g3(ray_dirs), g2(object_mask),
-            g2(acc_s), g2(acc_e), sel_ok, cfg, training,
-            sdf_fn_coarse=sdf_fn_coarse)
-        dists = _masked_scatter(dists, sel, s_t, sel_ok)
-        network_object_mask = _masked_scatter(network_object_mask, sel,
-                                              s_obj, sel_ok)
+            sdf_fn, k1, cam_g, dirs_g, om_g, accs_g, acce_g,
+            sel_ok, cfg, training, sdf_fn_coarse=sdf_fn_coarse)
+        dists, network_object_mask = _masked_scatter_wide(
+            (dists, network_object_mask), sel, (s_t, s_obj), sel_ok)
         # rays beyond capacity: treated as non-surface (rare overflow)
         overflow = sampler_mask & ~jax.vmap(
             lambda i, ok: jnp.zeros((n,), bool).at[
