@@ -46,7 +46,13 @@ def main():
             iou=last["eval_iou_full"],
             chamfer=last.get("eval_chamfer", float("nan")),
             best_psnr=best_psnr, best_iou=best_iou, best_chamfer=best_ch)))
-        curves[name] = [(m["it"], m["eval_psnr_full"],
+        # wall-clock-relative curves: the protocol is equal TIME, so
+        # curves are reported against elapsed seconds from the arm's
+        # first logged step (per-iteration curves would hide the iso
+        # arms' higher per-step cost)
+        all_ms = list(read_metrics(os.path.join(d, "metrics.jsonl")))
+        t0 = min(m["ts"] for m in all_ms) if all_ms else 0.0
+        curves[name] = [(m["it"], int(m["ts"] - t0), m["eval_psnr_full"],
                          m.get("eval_chamfer", float("nan"))) for m in ms]
 
     # consistent FINAL evaluation: the in-training chamfer meshes the
@@ -111,6 +117,12 @@ def main():
         "Chamfer is point-to-surface-samples (20k GT samples), "
         "mesh extracted at 128^3 per eval.",
         "",
+        "Conditions: all arms ran sequentially in the SAME session, on "
+        "the same git revision, on a quiet box (background CPU load "
+        "crashes the tunneled TPU worker — CLAUDE.md); each arm is one "
+        "clean full-budget run (crashed attempts are wiped and "
+        "restarted by `scripts/run_ablation.sh`).",
+        "",
         "| arm | iters reached | final PSNR | final IoU | final chamfer "
         "| best PSNR | best IoU | best chamfer |",
         "|---|---|---|---|---|---|---|---|",
@@ -138,11 +150,26 @@ def main():
         for name, v in finals.items():
             lines.append(f"| {name} | {v:.6f} |")
         lines.append("")
-    lines.append("## Curves (it, PSNR_full, chamfer)")
+    lines.append("## Curves (it, elapsed_s, PSNR_full, chamfer)")
     lines.append("")
     for name, c in curves.items():
-        pts = ", ".join(f"({it}, {p:.2f}, {ch:.4f})" for it, p, ch in c)
+        pts = ", ".join(f"({it}, {t}s, {p:.2f}, {ch:.4f})"
+                        for it, t, p, ch in c)
         lines.append(f"- **{name}**: {pts}")
+    lines.append("")
+
+    # tracked copies of the raw per-arm metrics (out/ is gitignored —
+    # VERDICT r3: the evidence must live in git)
+    copy_dir = "ablation_metrics"
+    os.makedirs(copy_dir, exist_ok=True)
+    import shutil
+    for d in args.dirs:
+        name = os.path.basename(d.rstrip("/")).replace("ablation_", "")
+        src = os.path.join(d, "metrics.jsonl")
+        if os.path.exists(src):
+            shutil.copyfile(src, os.path.join(copy_dir, f"{name}.jsonl"))
+    lines.append(f"Raw per-arm metrics: `{copy_dir}/<arm>.jsonl` "
+                 "(tracked copies of each run's metrics.jsonl).")
     lines.append("")
 
     with open(args.out, "w") as f:
