@@ -115,6 +115,27 @@ def test_selection_no_strip_narrowing():
     _assert_same_sets(ci_x, ok_x, np.asarray(ci_p), np.asarray(ok_p))
 
 
+def test_selection_under_vmap():
+    """rasterize_splats vmaps _rasterize_one over B — the kernel must
+    batch correctly (pallas adds a grid dim)."""
+    rng = np.random.RandomState(6)
+    S, T, P, B = 32, 8, 256, 2
+    args = []
+    for _ in range(B):
+        args.append(_random_splats(rng, P))
+    batched = [jnp.asarray(np.stack([a[i] for a in args]))
+               for i in range(6)]
+    px, py, z, rx, ry, valid = batched
+    f = jax.vmap(lambda *a: select_candidates_pallas(
+        *a, S=S, T=T, nt=S // T, R=128, M=64, interpret=True))
+    ci, ok, ovf = f(px, py, z, rx, ry, valid)
+    for b in range(B):
+        ci_x, ok_x, ovf_x = _xla_selection(
+            px[b], py[b], z[b], rx[b], ry[b], valid[b], S, T, 128, 64)
+        assert int(ovf[b]) == ovf_x
+        _assert_same_sets(ci_x, ok_x, np.asarray(ci[b]), np.asarray(ok[b]))
+
+
 def test_full_pallas_path_bit_identical_fragments():
     """End-to-end: the Pallas rasterization path emits bit-identical
     fragment maps with the kernel or the XLA top_k coarse stage."""
