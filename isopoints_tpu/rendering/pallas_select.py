@@ -127,9 +127,11 @@ def _select_kernel(P: int, L: int, R: int, M: int, nt: int, T: int,
         rows2 = jax.lax.broadcasted_iota(jnp.int32, (2, L), 0)
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
 
-        acc = jnp.zeros((8, R), jnp.float32)
-        carry = jnp.zeros((2, 1), jnp.float32)
-        for b in range(nblk):
+        # fori_loop (NOT an unrolled python loop): each iteration's
+        # (R, L) one-hot is 2.6 MB of scoped-VMEM stack; unrolled,
+        # Mosaic allocates them per-block and blows the 16 MB limit
+        def acc_body(b, acc_carry):
+            acc, carry = acc_carry
             sok = strip_mask(b)
             zi = zi_masked(b, sok)
             strict = zi < v_s                              # (1, L)
@@ -159,7 +161,11 @@ def _select_kernel(P: int, L: int, R: int, M: int, nt: int, T: int,
             att8 = jnp.where(rows8 == 2, zhi, att8)
             att8 = jnp.where(rows8 == 3, zlo, att8)
             att8 = jnp.where(rows8 == 4, gidx, att8)
-            acc = acc + _dot_nt(att8, oh)                  # (8, R)
+            return acc + _dot_nt(att8, oh), carry          # (8, R)
+
+        acc, _ = jax.lax.fori_loop(
+            0, nblk, acc_body,
+            (jnp.zeros((8, R), jnp.float32), jnp.zeros((2, 1), jnp.float32)))
 
         # --- tile phase on the compacted strip list ------------------
         spx = acc[0:1, :]                                  # (1, R)
@@ -217,18 +223,33 @@ def _select_kernel(P: int, L: int, R: int, M: int, nt: int, T: int,
         taken_t = strict_t | (tie_t & (pfx_tt < n_take_t))
         slot_t = jnp.where(strict_t, pfx_st, n_strict_t + pfx_tt)
 
+        # fori_loop for the same scoped-VMEM reason as acc_body: each
+        # (M, R) one-hot is 1.3 MB; 32 unrolled copies OOM the stack.
+        # Mosaic has no dynamic_slice on VALUES, so row t of the
+        # (nt, R) slot/taken tables is selected by a one-hot row dot
+        # (exact: slots <= R << 2^24; taken is 0/1)
         iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, R), 0)
-        for t in range(nt):
-            oh_t = ((iota_m == slot_t[t:t + 1, :])
-                    & taken_t[t:t + 1, :]).astype(jnp.float32)  # (M, R)
+        iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
+        slot_f = slot_t.astype(jnp.float32)                # (nt, R)
+        takslot_f = jnp.where(taken_t, slot_f, -1.0)       # -1 = not taken
+
+        def extract_body(t, _):
+            rowsel = (iota_nt == t).astype(jnp.float32)    # (1, nt)
+            srow = _dot_nn(rowsel, takslot_f)              # (1, R)
+            oh_t = (iota_m == srow.astype(jnp.int32)).astype(jnp.float32)
+            # srow == -1 (not taken) matches no slot in [0, M)
             cidx_t = _dot_nt(sidx, oh_t)                   # (1, M)
-            cidx_ref[0, t, :] = cidx_t[0, :].astype(jnp.int32)
+            cidx_ref[0, pl.ds(t, 1), :] = cidx_t.astype(jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, nt, extract_body, 0)
         iota_ok = jax.lax.broadcasted_iota(jnp.int32, (nt, M), 1)
         cok_ref[0, :, :] = (iota_ok < k_t).astype(jnp.int32)
 
+        # scalar stores don't lower to VMEM on TPU — write a (1, 1)
         ovf = (jnp.maximum(count_s - jnp.int32(R), 0)
                + jnp.sum(jnp.maximum(count_t - jnp.int32(M), 0)))
-        ovf_ref[0, 0, 0] = ovf
+        ovf_ref[0, :, :] = jnp.broadcast_to(ovf, (1, 1))
 
     return kernel
 

@@ -8,7 +8,11 @@ on the real TPU. Scan-amortized like bench.py.
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

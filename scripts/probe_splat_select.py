@@ -7,9 +7,12 @@ tunneled worker faults under heavy local CPU load). Prints per-variant
 frame times + the isolated selection-stage time.
 """
 
+import os
 import sys
 import time
 import dataclasses
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

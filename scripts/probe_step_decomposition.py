@@ -10,8 +10,11 @@ inputs (timing only — the arithmetic is data-independent).
 Usage: python scripts/probe_step_decomposition.py
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
