@@ -76,7 +76,20 @@ def load_config(path: str, default_path: Optional[str] = None) -> AttrDict:
             base = os.path.join(os.path.dirname(path), base)
             if not os.path.exists(base):
                 base = inherit_from  # cwd-relative fallback
-        cfg = load_config(base, default_path)
+        if os.path.exists(base):
+            cfg = load_config(base, default_path)
+        else:
+            # Saved out-dir configs are already fully resolved but (before
+            # save_config stripped it) kept a stale `inherit_from` that does
+            # not resolve from the out dir. Fall back to defaults only.
+            import warnings
+            warnings.warn(
+                f"inherit_from base {inherit_from!r} not found relative to "
+                f"{path!r}; treating config as fully resolved")
+            cfg = (load_config(default_path)
+                   if default_path is not None
+                   and os.path.abspath(default_path) != os.path.abspath(path)
+                   else AttrDict())
     elif default_path is not None and os.path.abspath(default_path) != os.path.abspath(path):
         cfg = load_config(default_path)
     else:
@@ -89,6 +102,9 @@ def load_config(path: str, default_path: Optional[str] = None) -> AttrDict:
 def save_config(path: str, cfg: Dict) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     data = cfg.to_dict() if isinstance(cfg, AttrDict) else dict(cfg)
+    # The saved config is fully resolved; a stale inherit_from would break
+    # reloading it from the out dir (the base is configs/-relative).
+    data.pop("inherit_from", None)
     with open(path, "w") as f:
         yaml.safe_dump(data, f, default_flow_style=False, sort_keys=False)
 

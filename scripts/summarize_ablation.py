@@ -26,13 +26,18 @@ def main():
     ap.add_argument("--data-dir", type=str, default="out/data_compound")
     args = ap.parse_args()
 
-    from isopoints_tpu.misc.metrics import read_metrics
+    from isopoints_tpu.misc.metrics import load_metrics as _lm
+
+    def load_metrics(path):
+        # a missing arm (crashed / not yet run) degrades to an empty
+        # row instead of crashing the whole summary
+        return _lm(path) if os.path.exists(path) else []
 
     rows = []
     curves = {}
     for d in args.dirs:
         name = os.path.basename(d.rstrip("/")).replace("ablation_", "")
-        ms = [m for m in read_metrics(os.path.join(d, "metrics.jsonl"))
+        ms = [m for m in load_metrics(os.path.join(d, "metrics.jsonl"))
               if "eval_iou_full" in m]
         if not ms:
             rows.append((name, None))
@@ -50,7 +55,7 @@ def main():
         # curves are reported against elapsed seconds from the arm's
         # first logged step (per-iteration curves would hide the iso
         # arms' higher per-step cost)
-        all_ms = list(read_metrics(os.path.join(d, "metrics.jsonl")))
+        all_ms = list(load_metrics(os.path.join(d, "metrics.jsonl")))
         t0 = min(m["ts"] for m in all_ms) if all_ms else 0.0
         curves[name] = [(m["it"], int(m["ts"] - t0), m["eval_psnr_full"],
                          m.get("eval_chamfer", float("nan"))) for m in ms]

@@ -142,6 +142,39 @@ def test_config_inheritance(tmp_path):
     assert cfg.training.lr == 1e-4
 
 
+def test_config_save_strips_inherit_and_reload(tmp_path):
+    """A saved (fully-resolved) config must reload from anywhere.
+
+    save_config strips `inherit_from` (the saved config is already
+    resolved); load_config tolerates a stale inherit_from whose base is
+    missing (configs saved before the strip, e.g. in out/ dirs)."""
+    base = tmp_path / "base.yaml"
+    child = tmp_path / "child.yaml"
+    save_config(str(base), AttrDict({"model": {"type": "combined"}}))
+    child.write_text("inherit_from: base.yaml\nmodel:\n  hidden: 64\n")
+    cfg = load_config(str(child))
+    # resolved save into a different dir: inherit_from must be gone
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    saved = outdir / "config.yaml"
+    cfg["inherit_from"] = "base.yaml"  # simulate a resolved cfg that kept it
+    save_config(str(saved), cfg)
+    import yaml
+    assert "inherit_from" not in yaml.safe_load(saved.read_text())
+    cfg2 = load_config(str(saved))
+    assert cfg2.model.type == "combined" and cfg2.model.hidden == 64
+    # pre-fix saved config (stale inherit_from, base unreachable):
+    # loads with a warning instead of crashing
+    stale = outdir / "stale.yaml"
+    stale.write_text("inherit_from: base_missing.yaml\nmodel:\n  type: point\n")
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg3 = load_config(str(stale))
+    assert cfg3.model.type == "point"
+    assert any("fully resolved" in str(x.message) for x in w)
+
+
 def test_camera_sampler():
     cams = CameraSampler(batch_size=4, distance_range=(2.0, 4.0)).sample(jax.random.key(0))
     assert cams.batch_size == 4
