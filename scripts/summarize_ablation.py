@@ -24,7 +24,16 @@ def main():
     ap.add_argument("--out", type=str, default="ABLATION.md")
     ap.add_argument("--final-mesh-resolution", type=int, default=192)
     ap.add_argument("--data-dir", type=str, default="out/data_compound")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the final-checkpoint eval onto CPU (the "
+                    "axon sitecustomize overrides JAX_PLATFORMS, so an "
+                    "env var is NOT enough — use this for dry runs while "
+                    "the TPU is busy)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from isopoints_tpu.misc.metrics import load_metrics as _lm
 
