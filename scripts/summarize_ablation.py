@@ -55,11 +55,23 @@ def main():
         best_iou = max(m["eval_iou_full"] for m in ms)
         best_psnr = max(m["eval_psnr_full"] for m in ms)
         best_ch = min(m.get("eval_chamfer", float("inf")) for m in ms)
+        # per-step cost: median gap between consecutive TRAIN rows
+        # (eval rows and post-eval recompile spikes would skew a mean);
+        # the iso arms pay projection/splatting per step, so this is
+        # the number that explains fewer-iters-per-budget
+        train_ms = [m for m in load_metrics(os.path.join(d, "metrics.jsonl"))
+                    if "eval_iou_full" not in m]
+        gaps = sorted((b["ts"] - a["ts"]) / max(b["it"] - a["it"], 1)
+                      for a, b in zip(train_ms, train_ms[1:])
+                      if 0 < b["it"] - a["it"] <= 2)
+        step_ms = 1e3 * gaps[len(gaps) // 2] if gaps else float("nan")
+        wall = (train_ms[-1]["ts"] - train_ms[0]["ts"]) if len(train_ms) > 1 else 0
         rows.append((name, dict(
             iters=last["it"], psnr=last["eval_psnr_full"],
             iou=last["eval_iou_full"],
             chamfer=last.get("eval_chamfer", float("nan")),
-            best_psnr=best_psnr, best_iou=best_iou, best_chamfer=best_ch)))
+            best_psnr=best_psnr, best_iou=best_iou, best_chamfer=best_ch,
+            step_ms=step_ms, wall=wall)))
         # wall-clock-relative curves: the protocol is equal TIME, so
         # curves are reported against elapsed seconds from the arm's
         # first logged step (per-iteration curves would hide the iso
@@ -137,16 +149,17 @@ def main():
         "clean full-budget run (crashed attempts are wiped and "
         "restarted by `scripts/run_ablation.sh`).",
         "",
-        "| arm | iters reached | final PSNR | final IoU | final chamfer "
-        "| best PSNR | best IoU | best chamfer |",
-        "|---|---|---|---|---|---|---|---|",
+        "| arm | iters reached | med ms/step | final PSNR | final IoU "
+        "| final chamfer | best PSNR | best IoU | best chamfer |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in rows:
         if r is None:
-            lines.append(f"| {name} | (no eval rows) | | | | | | |")
+            lines.append(f"| {name} | (no eval rows) | | | | | | | |")
             continue
         lines.append(
-            f"| {name} | {r['iters']} | {r['psnr']:.2f} | {r['iou']:.4f} "
+            f"| {name} | {r['iters']} | {r['step_ms']:.0f} "
+            f"| {r['psnr']:.2f} | {r['iou']:.4f} "
             f"| {r['chamfer']:.5f} | {r['best_psnr']:.2f} "
             f"| {r['best_iou']:.4f} | {r['best_chamfer']:.5f} |")
     lines.append("")
