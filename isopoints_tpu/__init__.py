@@ -21,6 +21,23 @@ Reference parity map: `/root/reference/DSS/__init__.py` (debug state),
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("ISOPOINTS_PLATFORM"):
+    # The axon sitecustomize registers the TPU backend and overrides
+    # JAX_PLATFORMS before any user code runs, so the standard env var
+    # CANNOT force entry-point subprocesses onto CPU (tests/test_entries
+    # would silently compile on — and contend for — the real chip).
+    # This variable is honored at package import, which in every entry
+    # script precedes first device use.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms",
+                           _os.environ["ISOPOINTS_PLATFORM"])
+    except RuntimeError:
+        pass  # backend already initialized by the host process
+
 from isopoints_tpu.logger import get_logger
 from isopoints_tpu.debug import (
     DebugState,

@@ -15,10 +15,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # entry subprocesses inherit the parent env, and in a TPU-attached
 # environment would compile on (and contend for) the real chip — CI
-# must stay CPU-only and deterministic like the in-process tests
-# (conftest.py forces jax_platforms=cpu, but that does not reach
-# subprocesses)
-_CPU_ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
+# must stay CPU-only and deterministic like the in-process tests.
+# JAX_PLATFORMS alone is NOT enough: the axon sitecustomize overrides
+# it before entry code runs. ISOPOINTS_PLATFORM is honored at package
+# import (isopoints_tpu/__init__.py), which every entry hits before
+# first device use.
+_CPU_ENV = {**os.environ, "JAX_PLATFORMS": "cpu",
+            "ISOPOINTS_PLATFORM": "cpu"}
 
 
 def _cpu_run(cmd, **kw):
