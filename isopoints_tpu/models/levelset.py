@@ -349,13 +349,20 @@ def edge_aware_upsample(sdf_fn: SDFFn, points: jax.Array, mask: jax.Array,
     buf = jnp.zeros((b, cap, 3), points.dtype).at[:, :p].set(points)
     bmask = jnp.zeros((b, cap), bool).at[:, :p].set(mask)
     max_new = max(cap // 10, 1)
+    # Same hard round bound as ops/points.py upsample: degenerate
+    # candidate sets (sparsity -inf / NaN normals) can shrink progress
+    # to ~1 point/round and hang the device until the tunneled TPU
+    # worker watchdog kills it; cap the rounds and return the honest
+    # partial fill.
+    max_rounds = 4 * -(-cap // max_new) + 4
 
     def cond(state):
-        _, m, stalled = state
-        return jnp.any(num_valid(m) < n_target) & jnp.logical_not(stalled)
+        _, m, stalled, i = state
+        return (jnp.any(num_valid(m) < n_target)
+                & jnp.logical_not(stalled) & (i < max_rounds))
 
     def body(state):
-        pts, m, _ = state
+        pts, m, _, i = state
         counts = num_valid(m)
         nrm = normals_of(pts, m)
         r = knn_points(pts, pts, m, m, k=k, exclude_self=True)
@@ -387,9 +394,10 @@ def edge_aware_upsample(sdf_fn: SDFFn, points: jax.Array, mask: jax.Array,
         pts = jax.vmap(lambda bf, s, u: bf.at[s].set(u, mode="drop"))(pts, slots, new_pts)
         new_m = jax.vmap(lambda bm, s: bm.at[s].set(True, mode="drop"))(m, slots)
         stalled = jnp.sum(num_valid(new_m)) == jnp.sum(counts)
-        return pts, new_m, stalled
+        return pts, new_m, stalled, i + 1
 
-    buf, bmask, _ = jax.lax.while_loop(cond, body, (buf, bmask, jnp.bool_(False)))
+    buf, bmask, _, _ = jax.lax.while_loop(
+        cond, body, (buf, bmask, jnp.bool_(False), jnp.int32(0)))
     return buf, bmask
 
 

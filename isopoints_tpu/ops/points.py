@@ -144,13 +144,22 @@ def midpoint_upsample(points: jax.Array, mask: jax.Array,
     buf = jnp.zeros((b, cap, 3), points.dtype).at[:, :p].set(points)
     bmask = jnp.zeros((b, cap), bool).at[:, :p].set(mask)
     max_new = max(cap // 8, 1)
+    # Hard round bound: healthy insertion fills the deficit in
+    # ~cap/max_new rounds; degenerate geometry (most candidate
+    # sparsities -inf) can shrink progress to ~1 point/round, turning
+    # this loop into an O(cap)-round device hang — on the tunneled TPU
+    # the worker watchdog then KILLS the worker ("TPU worker process
+    # crashed", ~90 s). Cap the rounds and return the honest partial
+    # fill instead (the mask reports the true count).
+    max_rounds = 4 * -(-cap // max_new) + 4
 
     def cond(state):
-        _, m, stalled = state
-        return jnp.any(num_valid(m) < n_target) & jnp.logical_not(stalled)
+        _, m, stalled, i = state
+        return (jnp.any(num_valid(m) < n_target)
+                & jnp.logical_not(stalled) & (i < max_rounds))
 
     def body(state):
-        pts, m, _ = state
+        pts, m, _, i = state
         counts = num_valid(m)
         res = knn_points(pts, pts, m, m, k=neighborhood_size, exclude_self=True)
         nn = knn_gather(pts, res.idx)                        # (B,C,K,3)
@@ -186,9 +195,10 @@ def midpoint_upsample(points: jax.Array, mask: jax.Array,
         # safety: if an entire round inserts nothing (e.g. too few valid
         # neighbors to form midpoints), stop instead of spinning forever
         stalled = jnp.sum(num_valid(new_m)) == jnp.sum(counts)
-        return pts, new_m, stalled
+        return pts, new_m, stalled, i + 1
 
-    buf, bmask, _ = jax.lax.while_loop(cond, body, (buf, bmask, jnp.bool_(False)))
+    buf, bmask, _, _ = jax.lax.while_loop(
+        cond, body, (buf, bmask, jnp.bool_(False), jnp.int32(0)))
     return buf, bmask
 
 
