@@ -24,6 +24,14 @@ def main():
     ap.add_argument("--out", type=str, default="ABLATION.md")
     ap.add_argument("--final-mesh-resolution", type=int, default=192)
     ap.add_argument("--data-dir", type=str, default="out/data_compound")
+    ap.add_argument("--truncate-at", type=int, default=0,
+                    help="equal-budget comparison point in seconds of "
+                    "per-arm wall clock (ts relative to the arm's first "
+                    "metrics row, crash/restart overheads included): "
+                    "each arm's table row uses its last eval at or "
+                    "before this point. Arms that ran longer are "
+                    "truncated — the state of a clean run at T is the "
+                    "state of the same run stopped at T.")
     ap.add_argument("--cpu", action="store_true",
                     help="force the final-checkpoint eval onto CPU (the "
                     "axon sitecustomize overrides JAX_PLATFORMS, so an "
@@ -46,8 +54,11 @@ def main():
     curves = {}
     for d in args.dirs:
         name = os.path.basename(d.rstrip("/")).replace("ablation_", "")
-        ms = [m for m in load_metrics(os.path.join(d, "metrics.jsonl"))
-              if "eval_iou_full" in m]
+        all_rows = load_metrics(os.path.join(d, "metrics.jsonl"))
+        t_first = min((m["ts"] for m in all_rows), default=0.0)
+        ms = [m for m in all_rows if "eval_iou_full" in m]
+        if args.truncate_at > 0:
+            ms = [m for m in ms if m["ts"] - t_first <= args.truncate_at]
         if not ms:
             rows.append((name, None))
             continue
@@ -149,6 +160,12 @@ def main():
         "clean full-budget run (crashed attempts are wiped and "
         "restarted by `scripts/run_ablation.sh`).",
         "",
+        ("" if not args.truncate_at else
+         f"EQUAL-BUDGET TABLE at T = {args.truncate_at}s of per-arm "
+         "wall clock (each arm's last eval at or before T; arms that "
+         "ran longer are truncated — a clean run's state at T is the "
+         "state of the same run stopped at T; crash/restart overheads "
+         "count against the arm that incurred them).\n"),
         "| arm | iters reached | med ms/step | final PSNR | final IoU "
         "| final chamfer | best PSNR | best IoU | best chamfer |",
         "|---|---|---|---|---|---|---|---|---|",
