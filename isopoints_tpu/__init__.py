@@ -35,8 +35,15 @@ if _os.environ.get("ISOPOINTS_PLATFORM"):
     try:
         _jax.config.update("jax_platforms",
                            _os.environ["ISOPOINTS_PLATFORM"])
-    except RuntimeError:
-        pass  # backend already initialized by the host process
+    except RuntimeError as _e:
+        # backend already initialized by the host process — the force
+        # did NOT take effect; this is exactly the failure mode this
+        # hook exists to prevent, so it must not be silent (r4 advisor)
+        import sys as _sys
+        print(f"isopoints_tpu: ISOPOINTS_PLATFORM="
+              f"{_os.environ['ISOPOINTS_PLATFORM']!r} could not be "
+              f"applied ({_e}); backend stays "
+              f"{_jax.default_backend()!r}", file=_sys.stderr)
 
 from isopoints_tpu.logger import get_logger
 from isopoints_tpu.debug import (

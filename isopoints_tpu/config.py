@@ -78,6 +78,14 @@ def load_config(path: str, default_path: Optional[str] = None) -> AttrDict:
                 base = inherit_from  # cwd-relative fallback
         if os.path.exists(base):
             cfg = load_config(base, default_path)
+        elif os.path.basename(os.path.dirname(os.path.abspath(path))) \
+                == "configs":
+            # a hand-written config with a typo'd base must fail loudly
+            # — silently training with default hyper-parameters is far
+            # worse than a FileNotFoundError (r4 advisor)
+            raise FileNotFoundError(
+                f"inherit_from base {inherit_from!r} not found relative "
+                f"to {path!r}")
         else:
             # Saved out-dir configs are already fully resolved but (before
             # save_config stripped it) kept a stale `inherit_from` that does

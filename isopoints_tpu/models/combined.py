@@ -64,8 +64,18 @@ class CombinedModel(ImplicitModel):
                  raster_settings: Optional[RasterizationSettings] = None):
         super().__init__(decoder, rendering_net, cfg)
         self.ccfg = combined_cfg
-        self.raster_settings = raster_settings or RasterizationSettings(
-            image_size=combined_cfg.visibility_image_size)
+        # the combined model's rasters are THROWAWAY visibility renders
+        # (reference get_visible_points, utils/__init__.py:699-711: a
+        # fixed 256px raster regardless of the output resolution) — run
+        # them at visibility_image_size, NOT the renderer's image_size.
+        # r5: passing the renderer settings through unchanged silently
+        # ran three 512px visibility rasters per step in the ablation
+        # (the knob was dead) — ~4x the raster work of the reference
+        # and the bulk of the combined step's program size.
+        import dataclasses
+        base = raster_settings or RasterizationSettings()
+        self.raster_settings = dataclasses.replace(
+            base, image_size=combined_cfg.visibility_image_size)
 
     def init_points(self, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """Initial iso-point buffer: random cube points

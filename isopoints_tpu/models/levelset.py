@@ -519,23 +519,60 @@ def directional_sample_network(sdf_fn: SDFFn, iso_points: jax.Array,
 
 def sample_uniform_iso_points(sdf_fn: SDFFn, n_points: int, key: jax.Array,
                               init_points: Optional[jax.Array] = None,
+                              init_mask: Optional[jax.Array] = None,
                               bounding_sphere_radius: float = 1.0,
                               cfg: ProjectionConfig = ProjectionConfig(),
                               mesh=None) -> ProjectionResult:
-    """Bootstrap a uniform iso-point set from scratch: random cube
-    points (4× oversampled) → project → WLOP consolidate to n →
-    midpoint-upsample to n → final project."""
+    """Uniform iso-point set: seeds → project → WLOP consolidate →
+    midpoint-upsample to n → final project.
+
+    `init_points` (+ optional `init_mask`) seeds the pipeline with the
+    CURRENT iso-points — the reference always resamples from its
+    persistent cloud (trainer.py:217-228 `_query_pcl` passes
+    `init_points=self.model._points`, levelset_sampling.py:1405-1424).
+    Only when no seeds exist does it bootstrap from random cube points
+    (4× oversampled). Seeding matters beyond cost: on a sharpened
+    trained field, random cube points mostly fail to converge within
+    proj_max_iters (measured 4% yield at ablation it=1000 vs >80% from
+    near-surface seeds), collapsing the resample into a degenerate
+    few-hundred-point regime."""
     k1, k2 = jax.random.split(key)
-    if init_points is None:
+    seeded = init_points is not None
+    if not seeded:
         init_points = (jax.random.uniform(k1, (1, n_points * 4, 3)) - 0.5) \
             * 2.0 * bounding_sphere_radius
-    mask0 = jnp.ones(init_points.shape[:2], dtype=bool)
+        init_mask = None
+    mask0 = (jnp.ones(init_points.shape[:2], dtype=bool)
+             if init_mask is None else init_mask)
 
     proj = project_points_newton(sdf_fn, init_points, mask0,
                                  max_iters=cfg.proj_max_iters,
                                  tolerance=cfg.proj_tolerance, mesh=mesh)
     inside = jnp.linalg.norm(proj.points, axis=-1) < bounding_sphere_radius
     valid = proj.mask & inside
+
+    if seeded:
+        # seeded path = the paper's own resampling recipe (the
+        # reference's NOTE, levelset_sampling.py:1440-1443): seeds are
+        # already near-uniform on the surface, so uniformize by
+        # density-weighted tangential REPULSION instead of the
+        # WLOP-consolidate/re-expand detour — fewer/cheaper programs
+        # (no farthest-point scan), and r5 forensics: on the tunneled
+        # TPU the 5-program wlop composition intermittently faults the
+        # worker while this sequence ran 8/8 clean on the same
+        # checkpoint (scripts/probe_resample_crash.py).
+        import dataclasses
+        rcfg = cfg if cfg.sample_iters > 0 else dataclasses.replace(
+            cfg, sample_iters=3)
+        pts, nrm, valid = resample_repulsion(sdf_fn, proj.points,
+                                             proj.normals, valid, rcfg,
+                                             mesh=mesh)
+        up, up_mask = midpoint_upsample(pts, valid, n_points,
+                                        neighborhood_size=16)
+        final = project_points_newton(sdf_fn, up, up_mask, max_iters=10,
+                                      tolerance=cfg.proj_tolerance,
+                                      mesh=mesh)
+        return final
 
     ratio = max(min(0.5, n_points / init_points.shape[1]), 1e-3)
     x, x_mask = wlop(proj.points, valid, k2, ratio=ratio)

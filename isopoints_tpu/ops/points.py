@@ -144,22 +144,24 @@ def midpoint_upsample(points: jax.Array, mask: jax.Array,
     buf = jnp.zeros((b, cap, 3), points.dtype).at[:, :p].set(points)
     bmask = jnp.zeros((b, cap), bool).at[:, :p].set(mask)
     max_new = max(cap // 8, 1)
-    # Hard round bound: healthy insertion fills the deficit in
-    # ~cap/max_new rounds; degenerate geometry (most candidate
-    # sparsities -inf) can shrink progress to ~1 point/round, turning
-    # this loop into an O(cap)-round device hang — on the tunneled TPU
-    # the worker watchdog then KILLS the worker ("TPU worker process
-    # crashed", ~90 s). Cap the rounds and return the honest partial
-    # fill instead (the mask reports the true count).
-    max_rounds = 4 * -(-cap // max_new) + 4
+    # STATIC round count (r5): this used to be a data-dependent
+    # lax.while_loop; on the tunneled TPU the standalone upsample
+    # program then intermittently faulted the worker whenever the big
+    # combined train-step program had run earlier in the same process
+    # (UNAVAILABLE "kernel fault", ~50-100%/invocation — bisected in
+    # scripts/probe_resample_crash.py; the same values ran clean 6/6 in
+    # a fresh process, and the same while_loop body runs clean INSIDE
+    # the step program). A bounded scan with masked no-op rounds is a
+    # fully static program — no device-evaluated cond — and covers the
+    # worst case: growth is ≥2x per round (every valid point offers a
+    # midpoint) until max_new caps it, so log2(max_new) doubling rounds
+    # + deficit/max_new linear rounds always suffice; saturated rounds
+    # insert nothing (n_new=0) and cost one no-op knn each.
+    rounds = (max(1, math.ceil(math.log2(max_new + 1)))
+              + -(-cap // max_new) + 2)
 
-    def cond(state):
-        _, m, stalled, i = state
-        return (jnp.any(num_valid(m) < n_target)
-                & jnp.logical_not(stalled) & (i < max_rounds))
-
-    def body(state):
-        pts, m, _, i = state
+    def body(state, _):
+        pts, m = state
         counts = num_valid(m)
         res = knn_points(pts, pts, m, m, k=neighborhood_size, exclude_self=True)
         nn = knn_gather(pts, res.idx)                        # (B,C,K,3)
@@ -192,13 +194,9 @@ def midpoint_upsample(points: jax.Array, mask: jax.Array,
 
         pts = jax.vmap(lambda bf, s, u: bf.at[s].set(u, mode="drop"))(pts, slots, new_pts)
         new_m = jax.vmap(lambda bm, s: bm.at[s].set(True, mode="drop"))(m, slots)
-        # safety: if an entire round inserts nothing (e.g. too few valid
-        # neighbors to form midpoints), stop instead of spinning forever
-        stalled = jnp.sum(num_valid(new_m)) == jnp.sum(counts)
-        return pts, new_m, stalled, i + 1
+        return (pts, new_m), None
 
-    buf, bmask, _, _ = jax.lax.while_loop(
-        cond, body, (buf, bmask, jnp.bool_(False), jnp.int32(0)))
+    (buf, bmask), _ = jax.lax.scan(body, (buf, bmask), None, length=rounds)
     return buf, bmask
 
 

@@ -37,3 +37,18 @@ class KeyChain:
         if n == 1:
             return keys[1]
         return keys[1:]
+
+    # -- checkpointing (VERDICT r4 item 8): the chain position is part
+    # of training state — a resumed run must draw the SAME keys at the
+    # same iterations as the uninterrupted run, or a data-dependent
+    # fault can never be reproduced by resuming into it.
+    @property
+    def key_data(self) -> np.ndarray:
+        """Raw key as a host uint32 array (npz-serializable)."""
+        return np.asarray(jax.random.key_data(self._key))
+
+    def set_key_data(self, data) -> None:
+        """Restore the chain to a `key_data` snapshot (O(1) — no
+        replay of the draw history)."""
+        self._key = jax.random.wrap_key_data(
+            jax.numpy.asarray(np.asarray(data, dtype=np.uint32)))

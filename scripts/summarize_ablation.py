@@ -52,10 +52,16 @@ def main():
 
     rows = []
     curves = {}
+    resumed = {}    # arm -> number of in-file restarts (it regressions)
+    run_wall = {}   # arm -> full logged wall clock (last ts - first ts)
     for d in args.dirs:
         name = os.path.basename(d.rstrip("/")).replace("ablation_", "")
         all_rows = load_metrics(os.path.join(d, "metrics.jsonl"))
         t_first = min((m["ts"] for m in all_rows), default=0.0)
+        its = [m["it"] for m in all_rows]
+        resumed[name] = sum(1 for a, b in zip(its, its[1:]) if b < a)
+        run_wall[name] = (max(m["ts"] for m in all_rows) - t_first
+                          if all_rows else 0.0)
         ms = [m for m in all_rows if "eval_iou_full" in m]
         if args.truncate_at > 0:
             ms = [m for m in ms if m["ts"] - t_first <= args.truncate_at]
@@ -102,11 +108,21 @@ def main():
     if os.path.exists(gtp):
         import numpy as np
         gt = np.load(gtp)["points"]
+    skipped_finals = []
     if gt is not None:
         from isopoints_tpu.training.evaluation import evaluate_mesh
         from isopoints_tpu.utils.meshing import largest_component
         for d in args.dirs:
             name = os.path.basename(d.rstrip("/")).replace("ablation_", "")
+            # equal-budget honesty (r4 advisor, medium): model.npz is the
+            # END-of-run checkpoint; under --truncate-at it may embody
+            # training past T. Only evaluate it when the arm's whole
+            # logged run fits inside T (+2% slack for the final
+            # checkpoint write) — otherwise skip and say so.
+            if (args.truncate_at > 0
+                    and run_wall.get(name, 0.0) > 1.02 * args.truncate_at):
+                skipped_finals.append(name)
+                continue
             ck = os.path.join(d, "model.npz")
             cfgp = os.path.join(d, "config.yaml")
             if not (os.path.exists(ck) and os.path.exists(cfgp)):
@@ -156,9 +172,16 @@ def main():
         "",
         "Conditions: all arms ran sequentially in the SAME session, on "
         "the same git revision, on a quiet box (background CPU load "
-        "crashes the tunneled TPU worker — CLAUDE.md); each arm is one "
-        "clean full-budget run (crashed attempts are wiped and "
-        "restarted by `scripts/run_ablation.sh`).",
+        "crashes the tunneled TPU worker — CLAUDE.md). "
+        + ("Arms marked (resumed xN) crashed and were RESUMED from "
+           "their last checkpoint by `scripts/run_arm_resume.sh`; "
+           "crash + recompile overhead counts against that arm's "
+           "budget. Restart counts: "
+           + ", ".join(f"{k} x{v}" for k, v in resumed.items() if v)
+           + "."
+           if any(resumed.values()) else
+           "Each arm is one clean full-budget run (crashed attempts "
+           "are wiped and restarted by `scripts/run_ablation.sh`)."),
         "",
         ("" if not args.truncate_at else
          f"EQUAL-BUDGET TABLE at T = {args.truncate_at}s of per-arm "
@@ -193,6 +216,10 @@ def main():
         lines.append("|---|---|")
         for name, v in finals.items():
             lines.append(f"| {name} | {v:.6f} |")
+        for name in skipped_finals:
+            lines.append(f"| {name} | (skipped: run extended past "
+                         f"T={args.truncate_at}s — end-of-run checkpoint "
+                         "would embody extra training) |")
         lines.append("")
     lines.append("## Curves (it, elapsed_s, PSNR_full, chamfer)")
     lines.append("")

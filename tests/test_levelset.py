@@ -161,6 +161,28 @@ def test_sample_uniform_iso_points():
     assert d.std() / d.mean() < 0.5
 
 
+def test_sample_uniform_iso_points_seeded():
+    """Seeded resample (reference trainer.py:228 passes the persistent
+    cloud as init_points): masked seeds near the surface must yield a
+    full uniform set WITHOUT the 4x random-cube bootstrap — including
+    masked-out garbage slots that must not leak through."""
+    f = sphere_sdf(0.5)
+    k = jax.random.key(5)
+    # 128 noisy near-surface seeds in a 192-slot buffer; 64 garbage slots
+    dirs = jax.random.normal(k, (1, 128, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    seeds = dirs * 0.55 + 0.02 * jax.random.normal(jax.random.key(6),
+                                                   (1, 128, 3))
+    buf = jnp.concatenate([seeds, jnp.full((1, 64, 3), 37.0)], axis=1)
+    m = jnp.arange(192)[None, :] < 128
+    res = sample_uniform_iso_points(f, 256, jax.random.key(7),
+                                    init_points=buf, init_mask=m)
+    assert res.points.shape == (1, 256, 3)
+    assert float(res.mask.mean()) > 0.9
+    r = np.linalg.norm(np.asarray(res.points), axis=-1)[np.asarray(res.mask)]
+    np.testing.assert_allclose(r, 0.5, atol=1e-3)
+
+
 def test_edge_aware_upsample_box():
     """EAR upsampling on a cube SDF keeps points on the surface and
     reaches the target count."""

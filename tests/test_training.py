@@ -316,6 +316,73 @@ class TestDebugAndResume:
         resumed, metrics = trainer2.train_step(resumed, img, mask, camera)
         assert np.isfinite(metrics["loss"]) and resumed.it == 3
 
+    def test_resample_seeded_from_current_cloud(self, monkeypatch):
+        """The resample must seed sample_uniform_iso_points with the
+        CURRENT persistent cloud (reference trainer.py:228
+        `init_points=self.model._points`) — r4's from-scratch bootstrap
+        collapsed to a ~4% yield on trained fields."""
+        import isopoints_tpu.training.trainer as trainer_mod
+        from isopoints_tpu.core.camera import look_at_view_transform
+
+        model = CombinedModel(
+            SirenField(hidden_size=32, n_layers=1),
+            cfg=ImplicitConfig(proj_max_iters=5),
+            combined_cfg=CombinedConfig(max_iso_per_batch=32,
+                                        n_points_per_cloud=64,
+                                        visibility_image_size=16),
+            raster_settings=RasterizationSettings(
+                image_size=16, tile_size=8, max_points_per_tile=64))
+        trainer = MVRTrainer(model, TrainerConfig(
+            n_rays=32, warm_up_iters=1, resample_every=100,
+            n_eikonal_points=32))
+        state = trainer.init_state()
+
+        seen = {}
+        real = trainer_mod.sample_uniform_iso_points
+
+        def spy(f, n, key, **kw):
+            seen["init_points"] = kw.get("init_points")
+            seen["init_mask"] = kw.get("init_mask")
+            return real(f, n, key, **kw)
+
+        monkeypatch.setattr(trainer_mod, "sample_uniform_iso_points", spy)
+        img = jnp.ones((1, 16, 16, 3)) * 0.5
+        mask = jnp.ones((1, 16, 16, 1))
+        R, T = look_at_view_transform([2.0], [0.0], [0.0])
+        camera = PerspectiveCamera.create(R=R, T=T, focal_length=2.0)
+        state, _ = trainer.train_step(state, img, mask, camera)  # it=0
+        state, _ = trainer.train_step(state, img, mask, camera)  # it=1: resample
+        assert seen["init_points"] is not None
+        np.testing.assert_array_equal(np.asarray(seen["init_mask"]),
+                                      np.ones((1, 64), bool))
+
+    def test_keychain_checkpoint_roundtrip(self, tmp_path):
+        """VERDICT r4 item 8: the host KeyChain position is training
+        state. A chain restored from its `key_data` snapshot must draw
+        IDENTICAL keys to the uninterrupted chain — and the snapshot
+        must survive the npz scalar path used by train_mvr.py."""
+        from isopoints_tpu.rng import KeyChain
+
+        chain = KeyChain(0)
+        for _ in range(7):
+            chain.next()
+        snap = chain.key_data  # checkpoint here
+
+        # uninterrupted continuation
+        expect = [np.asarray(jax.random.key_data(chain.next()))
+                  for _ in range(3)]
+
+        # resume path: snapshot -> npz scalar -> restore -> same draws
+        ckpt = CheckpointIO(str(tmp_path))
+        ckpt.save("model.npz", it=7, rng_key=snap)
+        scalars = CheckpointIO(str(tmp_path)).load("model.npz")
+        resumed = KeyChain(123)  # wrong seed on purpose
+        resumed.set_key_data(scalars["rng_key"])
+        got = [np.asarray(jax.random.key_data(resumed.next()))
+               for _ in range(3)]
+        for e, g in zip(expect, got):
+            np.testing.assert_array_equal(e, g)
+
 
 @pytest.mark.slow
 class TestSaliencySampling:

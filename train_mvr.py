@@ -44,6 +44,26 @@ def main():
                              "(parallel/data.py). Launch one process "
                              "per host.")
     parser.add_argument("--eval-mesh-resolution", type=int, default=96)
+    parser.add_argument("--restart-every-resample", action="store_true",
+                        help="checkpoint and exit(4) right BEFORE each "
+                             "iso-point resample boundary so the runner "
+                             "restarts the process and the resample "
+                             "runs first in a fresh one. Works around a "
+                             "tunneled-TPU worker fault: once the big "
+                             "combined step program has executed, "
+                             "loading further large programs "
+                             "intermittently faults the device "
+                             "(UNAVAILABLE; bisected r5 in "
+                             "scripts/probe_resample_crash.py — "
+                             "pure-XLA, input-independent, "
+                             "fresh-process-clean)")
+    parser.add_argument("--fresh-keys", action="store_true",
+                        help="on resume, do NOT restore the host "
+                             "KeyChain from the checkpoint — draw a "
+                             "fresh stream (escape hatch for dodging a "
+                             "data-dependent fault; default restores "
+                             "the stream so a resumed run reproduces "
+                             "the uninterrupted one)")
     args = parser.parse_args()
 
     import jax
@@ -132,6 +152,23 @@ def main():
                         opt=state.opt_state, points=state.points,
                         points_mask=state.points_mask)
     it0 = 0
+    # the persistent iso-point buffer's CAPACITY is training state too:
+    # it tracks the visible-subset / resample-target sizes as they
+    # evolve (the reference's dynamic self._points). A resumed run must
+    # adopt the checkpoint's capacity — the non-strict loader would
+    # otherwise warn "shape mismatch" and silently keep the RANDOM init
+    # points (r5 forensics: every resumed r4 ablation attempt trained
+    # on random points)
+    _npz = os.path.join(out_dir, "model.npz")
+    if os.path.exists(_npz):
+        with np.load(_npz) as _dd:
+            for _nm in ("points", "points_mask"):
+                _k = _nm + ":"
+                if _k in _dd.files and ckpt.registry.get(_nm) is not None:
+                    _tmpl = np.asarray(ckpt.registry[_nm])
+                    if _dd[_k].shape != _tmpl.shape:
+                        ckpt.registry[_nm] = np.zeros(_dd[_k].shape,
+                                                      _tmpl.dtype)
     try:
         scalars = ckpt.load("model.npz")
         it0 = int(scalars.get("it", 0))
@@ -139,7 +176,14 @@ def main():
                            opt_state=ckpt.registry["opt"],
                            points=ckpt.registry["points"],
                            points_mask=ckpt.registry["points_mask"], it=it0)
-        log.info("resumed from it=%d", it0)
+        # the host KeyChain position is training state (VERDICT r4
+        # item 8): restore it so the resumed run draws the SAME keys at
+        # the same iterations as the uninterrupted run would have
+        if "rng_key" in scalars and not args.fresh_keys:
+            trainer.keys.set_key_data(scalars["rng_key"])
+            log.info("resumed from it=%d (KeyChain restored)", it0)
+        else:
+            log.info("resumed from it=%d (fresh KeyChain)", it0)
     except FileNotFoundError:
         pass
 
@@ -147,12 +191,20 @@ def main():
         ckpt.registry.update(model=state.params, opt=state.opt_state,
                              points=state.points,
                              points_mask=state.points_mask)
-        ckpt.save(name, it=state.it, **extra)
+        ckpt.save(name, it=state.it, rng_key=trainer.keys.key_data,
+                  **extra)
 
     from isopoints_tpu.misc.metrics import MetricsWriter
 
     metrics_writer = MetricsWriter(out_dir)
-    rng = np.random.RandomState(args.seed)
+    # view draws are a pure function of (seed, it), not a sequential
+    # stream: a resumed run then samples the same views at the same
+    # iterations as the uninterrupted run (KeyChain restore above
+    # covers the device-side keys)
+    def draw_views(it):
+        r = np.random.RandomState((args.seed * 1_000_003 + it) % (2**31))
+        return r.choice(n_views, size=batch_views,
+                        replace=batch_views > n_views)
     # multi-host: the global view batch is sharded over the batch axis
     # of the device mesh, so it must be a multiple of the device count;
     # each host loads only its process-local slice from disk
@@ -188,8 +240,37 @@ def main():
     t_last = t_start
     best_iou = -1.0
 
+    # hang watchdog (VERDICT r4 weak #4): if a single loop iteration —
+    # train step, resample, eval, or checkpoint — stalls for over
+    # `watchdog_s`, dump every thread's stack to stderr so a teed train
+    # log shows WHERE the process was when the (tunneled) TPU worker
+    # wedged. Re-armed each iteration; exits the process after the
+    # second dump so a resume-runner can restart the arm.
+    import faulthandler
+    # default 600 s: first compiles of the step/eval over the tunnel
+    # legitimately take minutes (CLAUDE.md), so the trigger must sit
+    # well above them
+    watchdog_s = int(os.environ.get("ISOPOINTS_WATCHDOG_S", "600"))
+
     profiling = False
+    warm_up = trainer.cfg.warm_up_iters
+    resample_every = trainer.cfg.resample_every
     for it in range(it0, args.max_iters):
+        if watchdog_s > 0:
+            faulthandler.dump_traceback_later(watchdog_s, repeat=True,
+                                              exit=True)
+        if (args.restart_every_resample and it > it0 and it >= warm_up
+                and (it == warm_up or it % resample_every == 0)):
+            # hand the resample to a fresh process (see --help); it0
+            # itself is excluded so the restarted process actually
+            # performs the resample instead of exiting again
+            if watchdog_s > 0:
+                faulthandler.cancel_dump_traceback_later()
+            if is_main:
+                save("model.npz")
+            log.info("restart-every-resample: exiting before resample "
+                     "at it=%d", it)
+            sys.exit(4)
         if args.profile_at >= 0 and it == args.profile_at:
             jax.profiler.start_trace(os.path.join(out_dir, "profile"))
             profiling = True
@@ -206,8 +287,7 @@ def main():
             gb = form_global_batch(local, trainer.mesh)
             img, mask, camera = gb["img"], gb["mask"], gb["camera"]
         else:
-            idx = rng.choice(n_views, size=batch_views,
-                             replace=batch_views > n_views)
+            idx = draw_views(it)
             if stage_views:
                 idx_dev = jnp.asarray(idx)
                 img = jnp.take(images_dev, idx_dev, axis=0)
@@ -232,9 +312,11 @@ def main():
                      " ".join(f"{k}={v:.4g}" for k, v in metrics.items()), dt)
         if (is_main and args.checkpoint_every > 0 and it > 0
                 and it % args.checkpoint_every == 0):
+            log.info("stage: checkpoint it=%d", it)
             save("model.npz")
         if (is_main and args.validate_every > 0 and it > 0
                 and it % args.validate_every == 0):
+            log.info("stage: eval start it=%d", it)
             # evaluation is host-local: under --multihost the training
             # batch is sharded across hosts (not host-fetchable), so
             # eval always renders host-locally loaded views
@@ -251,6 +333,7 @@ def main():
                     state, gt_points, gt_normals,
                     resolution=args.eval_mesh_resolution))
             metrics_writer.log(it, ev, prefix="eval_")
+            log.info("stage: eval done it=%d", it)
             log.info("eval it %05d %s", it,
                      " ".join(f"{k}={v:.4g}" for k, v in ev.items()))
             if ev["iou_full"] > best_iou:
@@ -265,6 +348,8 @@ def main():
             save_ply(os.path.join(out_dir, f"{it:06d}_mesh.ply"), verts,
                      faces=faces)
         if args.exit_after > 0 and time.time() - t_start > args.exit_after:
+            if watchdog_s > 0:
+                faulthandler.cancel_dump_traceback_later()
             if profiling:
                 jax.profiler.stop_trace()
             if is_main:
@@ -272,6 +357,8 @@ def main():
             log.info("exit-after reached; checkpointed at it=%d", state.it)
             sys.exit(3)
 
+    if watchdog_s > 0:
+        faulthandler.cancel_dump_traceback_later()
     if profiling:
         jax.profiler.stop_trace()
     if is_main:
