@@ -751,6 +751,22 @@ class TestDTUMVRPath:
             jnp.asarray(item["img.mask"])[None], ds.camera([0], (24, 24)))
         assert np.isfinite(metrics["loss"])
 
+    def test_visibility_raster_size_decoupled_from_renderer(self):
+        """The combined model's throwaway visibility rasters run at the
+        configured visibility_image_size (reference get_visible_points,
+        utils/__init__.py:699-711: fixed 256px), NOT the renderer's
+        image_size — regression for the dead knob that ran three 512px
+        visibility rasters per ablation step."""
+        from isopoints_tpu.config import default_config_path, load_config
+        from isopoints_tpu.factories import create_model
+
+        for arm in ("uni", "lossS"):
+            cfg = load_config(f"configs/ablation_compound_{arm}.yml",
+                              default_config_path())
+            model = create_model(cfg)
+            assert model.raster_settings.image_size == 256
+            assert cfg.renderer.raster_params.image_size == 512
+
 
 class TestDTUEntryLoadCloud:
     def test_synthetic_default_n_points_nonempty(self):
