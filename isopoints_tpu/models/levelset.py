@@ -567,6 +567,19 @@ def sample_uniform_iso_points(sdf_fn: SDFFn, n_points: int, key: jax.Array,
         pts, nrm, valid = resample_repulsion(sdf_fn, proj.points,
                                              proj.normals, valid, rcfg,
                                              mesh=mesh)
+        if pts.shape[1] > n_points:
+            # shrinking resample (seed capacity > target, e.g. the 8k
+            # start cloud at the first 6k-point scheduler step):
+            # uniform RANDOM subsample of the valid seeds down to the
+            # target — repulsion has made them near-uniform, so any
+            # unbiased subset stays uniform; slicing without the
+            # shuffle would bias toward the cloud's storage order.
+            # (midpoint_upsample requires seed width ≤ its capacity.)
+            r = jax.random.uniform(k2, valid.shape)
+            order = jnp.argsort(jnp.where(valid, r, 2.0), axis=-1)
+            pts = jnp.take_along_axis(pts, order[..., None],
+                                      axis=1)[:, :n_points]
+            valid = jnp.take_along_axis(valid, order, axis=1)[:, :n_points]
         up, up_mask = midpoint_upsample(pts, valid, n_points,
                                         neighborhood_size=16)
         final = project_points_newton(sdf_fn, up, up_mask, max_iters=10,

@@ -134,6 +134,14 @@ def midpoint_upsample(points: jax.Array, mask: jax.Array,
     """
     b, p, _ = points.shape
     cap = target_capacity
+    if p > cap:
+        # refuse to silently drop seed slots: a wider-than-capacity
+        # seed means the caller wants a SHRINKING resample, which needs
+        # an unbiased subset (see sample_uniform_iso_points) — not
+        # whatever truncation order the buffer happens to be in.
+        raise ValueError(
+            f"midpoint_upsample: seed width {p} exceeds target capacity "
+            f"{cap}; subsample the seeds to ≤ capacity first")
     if n_target is None:
         n_target = jnp.full((b,), cap, jnp.int32)
     n_target = jnp.minimum(n_target, cap)

@@ -183,6 +183,25 @@ def test_sample_uniform_iso_points_seeded():
     np.testing.assert_allclose(r, 0.5, atol=1e-3)
 
 
+def test_sample_uniform_iso_points_seeded_shrinking():
+    """Shrinking seeded resample: seed buffer WIDER than the target
+    (the ablation's 8k start cloud at the scheduler's first 6k-point
+    resample — r5 crash: midpoint_upsample got an over-wide seed and
+    died on a broadcast). Valid seeds must be randomly subsampled to
+    the target, still uniform on the surface."""
+    f = sphere_sdf(0.5)
+    dirs = jax.random.normal(jax.random.key(8), (1, 300, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    seeds = dirs * 0.52
+    m = jnp.arange(300)[None, :] < 280    # some masked garbage slots
+    res = sample_uniform_iso_points(f, 192, jax.random.key(9),
+                                    init_points=seeds, init_mask=m)
+    assert res.points.shape == (1, 192, 3)
+    assert float(res.mask.mean()) > 0.9
+    r = np.linalg.norm(np.asarray(res.points), axis=-1)[np.asarray(res.mask)]
+    np.testing.assert_allclose(r, 0.5, atol=1e-3)
+
+
 def test_edge_aware_upsample_box():
     """EAR upsampling on a cube SDF keeps points on the surface and
     reaches the target count."""
