@@ -137,10 +137,17 @@ def main():
     trainer = create_trainer(model, cfg, seed=args.seed,
                              n_devices=args.n_devices,
                              views_sharded=multihost)
-    if trainer.cfg.saliency_sampling and gt_points is not None:
+    # The reference seeds the saliency reference cloud from the MODEL'S
+    # OWN iso-points (trainer.py:328 calls ref_per_point_metric with no
+    # ref_pcl -> :518 defaults to self.model._points) — never from the
+    # dataset GT. Seeding from GT leaks GT geometry into training, so
+    # it is opt-in for oracle experiments only; the default path lets
+    # update_ref_metric seed from the first projected iso set.
+    if (trainer.cfg.saliency_sampling and gt_points is not None
+            and cfg["training"].get("saliency_ref_gt", False)):
         trainer.set_reference_cloud(gt_points)
-        log.info("saliency reference cloud: FPS of %d GT points",
-                 len(gt_points))
+        log.info("saliency reference cloud (ORACLE opt-in): FPS of %d "
+                 "GT points", len(gt_points))
     state = trainer.init_state()
 
     # backend 'orbax' writes sharding-aware directory checkpoints (no
