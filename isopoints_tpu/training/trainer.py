@@ -318,6 +318,25 @@ class MVRTrainer:
         return new_state, {k: float(v) for k, v in metrics.items()}
 
     # ---------------------------------------------------------------
+    def saliency_state(self):
+        """Host-side saliency reference state for checkpointing, or
+        None before seeding. Under train_mvr's restart-every-resample
+        protocol every resample runs at process START — without
+        persisting this state the saliency branch can never see
+        accumulated stats and lossS silently degenerates to uni
+        (r5 forensics: bit-identical metrics through it=1400)."""
+        if self._ref_points is None:
+            return None
+        return {"ref_points": self._ref_points, "ref_mask": self._ref_mask,
+                "ref_stat_mean": self._ref_stat_mean,
+                "ref_stat_n": self._ref_stat_n}
+
+    def load_saliency_state(self, state) -> None:
+        self._ref_points = jnp.asarray(state["ref_points"])
+        self._ref_mask = jnp.asarray(state["ref_mask"])
+        self._ref_stat_mean = jnp.asarray(state["ref_stat_mean"])
+        self._ref_stat_n = jnp.asarray(state["ref_stat_n"])
+
     def set_reference_cloud(self, points) -> None:
         """Seed the saliency reference cloud by FPS-downsampling the
         dataset GT point cloud (the reference FPS-samples the GT,

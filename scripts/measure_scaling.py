@@ -124,12 +124,16 @@ def main():
                          "overhead — the honest virtual-mesh signal.")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--mesh-sizes", type=int, nargs="*", default=None)
+    ap.add_argument("--image-size", type=int, default=64,
+                    help="view/visibility resolution of the measured "
+                         "step (64 = SCALING.md default; 128 = bench "
+                         "geometry)")
     args = ap.parse_args()
 
     n_avail = jax.device_count()
     sizes = args.mesh_sizes or sorted(
         {n for n in (1, 2, 4, 8, n_avail) if n <= n_avail})
-    setup = build()
+    setup = build(image_size=args.image_size)
     base = None
     for n in sizes:
         per_dev = (args.total_rays // n if args.total_rays

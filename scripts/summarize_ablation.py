@@ -32,6 +32,11 @@ def main():
                     "before this point. Arms that ran longer are "
                     "truncated — the state of a clean run at T is the "
                     "state of the same run stopped at T.")
+    ap.add_argument("--no-finals", action="store_true",
+                    help="skip the final-checkpoint re-evaluation "
+                    "section (e.g. when an arm's out dir no longer "
+                    "exists and a partial finals table would compare "
+                    "unlike things)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the final-checkpoint eval onto CPU (the "
                     "axon sitecustomize overrides JAX_PLATFORMS, so an "
@@ -109,6 +114,8 @@ def main():
         import numpy as np
         gt = np.load(gtp)["points"]
     skipped_finals = []
+    if args.no_finals:
+        gt = None
     if gt is not None:
         from isopoints_tpu.training.evaluation import evaluate_mesh
         from isopoints_tpu.utils.meshing import largest_component

@@ -416,6 +416,26 @@ class TestSaliencySampling:
         # and the persisted points remain finite/valid
         assert np.isfinite(np.asarray(state.points)).all()
 
+        # saliency state round-trip: restart-every-resample runs every
+        # resample at process START, so a fresh trainer must see the
+        # PREVIOUS process's accumulated stats or lossS degenerates to
+        # uni (r5: bit-identical metrics through it=1400). Simulate the
+        # handoff: serialize -> new trainer -> restore -> saliency gate
+        # open on the very first resample.
+        sal = trainer.saliency_state()
+        assert sal is not None
+        trainer2 = MVRTrainer(model, trainer.cfg)
+        assert trainer2.saliency_state() is None
+        trainer2.load_saliency_state(
+            {k: np.asarray(v) for k, v in sal.items()})
+        assert float(jnp.max(trainer2._ref_stat_n)) > 0
+        np.testing.assert_array_equal(np.asarray(trainer2._ref_points),
+                                      np.asarray(trainer._ref_points))
+        pts, msk = trainer2.resample_iso_points(
+            state.params, 128, init_points=state.points,
+            init_mask=state.points_mask)
+        assert np.isfinite(np.asarray(pts)).all()
+
 
 class TestSpacingCache:
     """VERDICT r3 item 6: splat-spacing kNN amortized on the resample

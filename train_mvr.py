@@ -194,12 +194,27 @@ def main():
     except FileNotFoundError:
         pass
 
+    # the saliency reference cloud + its accumulated loss stats are
+    # HOST state: without persisting them, every restart-every-resample
+    # handoff resamples with EMPTY stats (the resample runs at process
+    # start) and lossS silently degenerates into uni (r5 forensics:
+    # bit-identical metrics through it=1400). Stored beside model.npz.
+    _sal_npz = os.path.join(out_dir, "saliency.npz")
+    if trainer.cfg.saliency_sampling and os.path.exists(_sal_npz):
+        with np.load(_sal_npz) as _sd:
+            trainer.load_saliency_state({k: _sd[k] for k in _sd.files})
+        log.info("saliency reference state restored (%d ref points)",
+                 trainer._ref_points.shape[1])
+
     def save(name, **extra):
         ckpt.registry.update(model=state.params, opt=state.opt_state,
                              points=state.points,
                              points_mask=state.points_mask)
         ckpt.save(name, it=state.it, rng_key=trainer.keys.key_data,
                   **extra)
+        sal = trainer.saliency_state()
+        if sal is not None:
+            np.savez(_sal_npz, **{k: np.asarray(v) for k, v in sal.items()})
 
     from isopoints_tpu.misc.metrics import MetricsWriter
 
